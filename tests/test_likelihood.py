@@ -1,0 +1,92 @@
+"""Likelihood kernels vs dense reference formulations."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from bayhunter_tpu.ops import likelihood as lk
+
+
+def dense_logl(ydiff, c_inv, logc_det):
+    n = ydiff.size
+    madist = ydiff @ c_inv @ ydiff
+    return -0.5 * (n * np.log(2 * np.pi) + logc_det) - madist / 2
+
+
+def test_nocorr_matches_dense():
+    rng = np.random.RandomState(0)
+    d = rng.randn(37)
+    sigma = 0.02
+    c_inv = np.eye(37) / sigma ** 2
+    logdet = 2 * 37 * np.log(sigma)
+    expect = dense_logl(d, c_inv, logdet)
+    got = float(lk.loglike_nocorr(jnp.asarray(d), sigma))
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_exp_matches_dense_tridiagonal():
+    """Matrix-free exponential-correlation logL equals the reference's
+    explicit tridiagonal inverse (src/Targets.py:132-148)."""
+    rng = np.random.RandomState(1)
+    n = 41
+    d = rng.randn(n) * 0.01
+    sigma, corr = 0.012, 0.55
+
+    diag = np.ones(n) + corr ** 2
+    diag[0] = diag[-1] = 1
+    off = np.ones(n - 1) * -corr
+    c_inv = (np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)) \
+        / (sigma ** 2 * (1 - corr ** 2))
+    logdet = 2 * n * np.log(sigma) + (n - 1) * np.log(1 - corr ** 2)
+    expect = dense_logl(d, c_inv, logdet)
+    got = float(lk.loglike_exp(jnp.asarray(d), sigma, corr))
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_exp_inverse_is_true_inverse():
+    """The analytic tridiagonal form actually inverts the exponential
+    correlation matrix."""
+    n, corr = 25, 0.7
+    R = lk.exp_correlation_matrix(corr, n)
+    diag = np.ones(n) + corr ** 2
+    diag[0] = diag[-1] = 1
+    off = np.ones(n - 1) * -corr
+    R_inv = (np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)) \
+        / (1 - corr ** 2)
+    np.testing.assert_allclose(R @ R_inv, np.eye(n), atol=1e-10)
+
+
+def test_gauss_matches_dense():
+    rng = np.random.RandomState(2)
+    n = 51
+    d = rng.randn(n) * 0.005
+    sigma, corr = 0.005, 0.9
+    corr_inv, logcorr_det = lk.init_covariance_gauss(corr, n)
+    c_inv = corr_inv / sigma ** 2
+    logdet = 2 * n * np.log(sigma) + logcorr_det
+    expect = dense_logl(d, c_inv, logdet)
+    got = float(lk.loglike_gauss(jnp.asarray(d), sigma,
+                                 jnp.asarray(corr_inv), logcorr_det))
+    np.testing.assert_allclose(got, expect, rtol=1e-10)
+
+
+def test_scalederr_matches_dense():
+    rng = np.random.RandomState(3)
+    n = 19
+    d = rng.randn(n)
+    yerr = rng.rand(n) + 0.5
+    sigma = 0.1
+    scaled = yerr / yerr.min()
+    c_inv = np.diag(1.0 / (scaled * sigma ** 2))
+    logdet = 2 * n * np.log(sigma) + np.log(np.prod(scaled))
+    expect = dense_logl(d, c_inv, logdet)
+    got = float(lk.loglike_nocorr_scalederr(
+        jnp.asarray(d), sigma, jnp.asarray(scaled),
+        float(np.sum(np.log(scaled)))))
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_batched_shapes():
+    d = jnp.asarray(np.random.RandomState(4).randn(16, 21))
+    sig = jnp.full((16,), 0.01)
+    out = lk.loglike_exp(d, sig, jnp.full((16,), 0.3))
+    assert out.shape == (16,)

@@ -1,0 +1,160 @@
+"""Golden and property tests for the RF reflectivity solver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayhunter_tpu.ops.rf import (synrf, flatten_model, rho_vp,
+                                  interface_coefficients, P_WAVE, SV_WAVE)
+from tests.conftest import golden_path
+
+NL = 6
+NSAMP, FSAMP, TSHFT = 512, 5.0, 5.0
+
+
+def padded_tutorial(dtype=np.float64):
+    h = np.array([5., 23., 8., 0.])
+    vs = np.array([2.7, 3.6, 3.8, 4.4])
+    vp = vs * 1.73
+    rho = vp * 0.32 + 0.77
+    hp = np.zeros(NL)
+    hp[:3] = h[:3]
+
+    def pad(x):
+        out = np.full(NL, x[-1])
+        out[:len(x)] = x
+        return out
+
+    return tuple(jnp.asarray(v, dtype) for v in
+                 (hp, pad(vp), pad(vs), pad(rho)))
+
+
+def run_rf(args, wave, dtype=np.float64):
+    qp = jnp.full(NL, 500., dtype)
+    qs = jnp.full(NL, 225., dtype)
+    vpvs0 = 1.73
+    poisson = (2 - vpvs0 ** 2) / (2 - 2 * vpvs0 ** 2)
+    return synrf(*args, qp, qs, 6.4, 1.0, NSAMP, FSAMP, TSHFT,
+                 2.7, poisson, wave_type=wave)
+
+
+@pytest.mark.parametrize('ref,wave', [('prf', P_WAVE), ('srf', SV_WAVE)])
+def test_golden_rf(ref, wave):
+    args = padded_tutorial()
+    fz, fr, rf = run_rf(args, wave)
+    gold = np.loadtxt(golden_path('st3_%s.dat' % ref))[:, 1]
+    np.testing.assert_allclose(np.asarray(rf)[:201], gold, atol=2e-4)
+
+
+def test_golden_rf_float32():
+    args = padded_tutorial(np.float32)
+    fz, fr, rf = run_rf(args, P_WAVE, np.float32)
+    gold = np.loadtxt(golden_path('st3_prf.dat'))[:, 1]
+    np.testing.assert_allclose(np.asarray(rf)[:201], gold, atol=5e-4)
+
+
+def test_rf_direct_arrival_near_zero():
+    """P receiver function: dominant direct arrival near t=0 (the
+    reference golden trace peaks at t=0.8 s for this model)."""
+    args = padded_tutorial()
+    _, _, rf = run_rf(args, P_WAVE)
+    rf = np.asarray(rf)[:201]
+    t = np.linspace(-5, 35, 201)
+    assert abs(t[np.argmax(np.abs(rf))]) <= 1.0
+
+
+def test_padding_invariance():
+    args6 = padded_tutorial()
+    _, _, rf6 = run_rf(args6, P_WAVE)
+
+    NL2 = 12
+    h = np.zeros(NL2)
+    h[:3] = [5., 23., 8.]
+    vs = np.array([2.7, 3.6, 3.8, 4.4])
+    vp = vs * 1.73
+    rho = vp * 0.32 + 0.77
+
+    def pad(x):
+        out = np.full(NL2, x[-1])
+        out[:len(x)] = x
+        return out
+
+    args12 = tuple(jnp.asarray(v) for v in (h, pad(vp), pad(vs),
+                                            pad(rho)))
+    qp = jnp.full(NL2, 500.)
+    qs = jnp.full(NL2, 225.)
+    poisson = (2 - 1.73 ** 2) / (2 - 2 * 1.73 ** 2)
+    _, _, rf12 = synrf(*args12, qp, qs, 6.4, 1.0, NSAMP, FSAMP, TSHFT,
+                       2.7, poisson, wave_type=P_WAVE)
+    np.testing.assert_allclose(np.asarray(rf6), np.asarray(rf12),
+                               atol=1e-10)
+
+
+def test_null_interface_coefficients():
+    """Identical media: R = 0, T = identity."""
+    rd, td, ru, tu = interface_coefficients(
+        0.05, 6.0, 3.5, 2.7, 6.0, 3.5, 2.7, jnp.complex128)
+    eye = np.eye(2)
+    np.testing.assert_allclose(np.asarray(rd), 0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(ru), 0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(td), eye, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(tu), eye, atol=1e-14)
+
+
+def test_energy_conservation_interface():
+    """Sub-critical plane-wave R/T coefficients satisfy energy flux
+    conservation for an incident P wave."""
+    u = 0.05
+    vp1, vs1, rho1 = 5.8, 3.2, 2.6
+    vp2, vs2, rho2 = 8.0, 4.5, 3.3
+    rd, td, ru, tu = interface_coefficients(
+        u, vp1, vs1, rho1, vp2, vs2, rho2, jnp.complex128)
+    a1 = np.sqrt(1 / vp1 ** 2 - u ** 2)
+    b1 = np.sqrt(1 / vs1 ** 2 - u ** 2)
+    a2 = np.sqrt(1 / vp2 ** 2 - u ** 2)
+    b2 = np.sqrt(1 / vs2 ** 2 - u ** 2)
+    rd = np.asarray(rd)
+    td = np.asarray(td)
+    # energy flux ratios (potential-normalized coefficients)
+    e_rpp = np.abs(rd[0, 0]) ** 2
+    e_rps = np.abs(rd[1, 0]) ** 2 * (rho1 * b1) / (rho1 * a1)
+    e_tpp = np.abs(td[0, 0]) ** 2 * (rho2 * a2) / (rho1 * a1)
+    e_tps = np.abs(td[1, 0]) ** 2 * (rho2 * b2) / (rho1 * a1)
+    total = e_rpp + e_rps + e_tpp + e_tps
+    np.testing.assert_allclose(total, 1.0, rtol=1e-8)
+
+
+def test_flatten_model_roundtrip_props():
+    h = jnp.asarray([5., 23., 8., 0., 0., 0.])
+    vp = jnp.full(6, 6.0)
+    vs = jnp.full(6, 3.5)
+    rho = jnp.full(6, 2.7)
+    hf, vpf, vsf, rhof = flatten_model(h, vp, vs, rho)
+    # flattening stretches thickness and raises velocity with depth
+    assert float(hf[1]) > 23.0
+    assert float(vpf[1]) > 6.0
+    assert float(rhof[1]) < 2.7
+    # surface layer top unchanged
+    np.testing.assert_allclose(float(vpf[0]), 6.0)
+
+
+def test_rho_vp_crystalline():
+    """At high vp the Berteussen term dominates (model.cpp:150-165)."""
+    val = float(rho_vp(jnp.asarray(8.0)))
+    assert abs(val - (0.77 + 0.32 * 8.0)) < 0.05
+
+
+def test_vmap_batch():
+    args = padded_tutorial()
+    _, _, rf1 = run_rf(args, P_WAVE)
+    batched = tuple(jnp.stack([a] * 4) for a in args)
+    qp = jnp.full((4, NL), 500.)
+    qs = jnp.full((4, NL), 225.)
+    poisson = (2 - 1.73 ** 2) / (2 - 2 * 1.73 ** 2)
+    fn = lambda h, vp, vs, rho, qpp, qss: synrf(
+        h, vp, vs, rho, qpp, qss, 6.4, 1.0, NSAMP, FSAMP, TSHFT,
+        2.7, poisson, wave_type=P_WAVE)
+    fzb, frb, rfb = jax.vmap(fn)(*batched, qp, qs)
+    np.testing.assert_allclose(np.asarray(rfb[2]), np.asarray(rf1),
+                               atol=1e-12)
