@@ -1,0 +1,231 @@
+"""MCMC orchestrator: thousands of chains as one batched device program.
+
+API-compatible with the reference ``MCMC_Optimizer``
+(reference: src/mcmcOptimizer.py:31-282), redesigned TPU-first:
+
+  * the reference runs one OS process per chain with shared-memory
+    result arrays; here chains are a vmapped batch axis executed in a
+    single XLA program, sharded across all visible devices with
+    ``jax.sharding`` (chains are independent — the compiler inserts no
+    collectives; scaling is embarrassingly parallel over ICI),
+  * the sequential per-chain loop becomes segments of a jitted
+    ``lax.scan`` (sampler/chain.py); between segments the host logs
+    progress, optionally publishes BayWatch telemetry over the
+    reference's ZMQ wire format, and can checkpoint,
+  * results are written in the reference's on-disk contract:
+    ``c%03d_p{1,2}{models,likes,misfits,noise,vpvs}.npy`` per chain
+    plus the ``<station>_config.pkl`` pickle
+    (reference: src/SingleChain.py:665-690, src/mcmcOptimizer.py:52-55).
+"""
+
+import logging
+import os
+import os.path as op
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bayhunter_tpu import config as cfgio
+from bayhunter_tpu.sampler.chain import build_sampler, make_config
+from bayhunter_tpu.sampler.evaluator import build_evaluator
+
+logger = logging.getLogger(__name__)
+
+
+class MCMC_Optimizer(object):
+    """Joint McMC inversion over many parallel chains."""
+
+    def __init__(self, targets, initparams=dict(), priors=dict(),
+                 random_seed=None, dtype=jnp.float32, devices=None):
+        self.sock_addr = 'tcp://*:5556'
+        self.rstate = np.random.RandomState(random_seed)
+        self.seed = random_seed if random_seed is not None \
+            else int(self.rstate.randint(2 ** 31))
+
+        defaults = cfgio.get_path('defaults.ini')
+        self.priors, self.initparams = cfgio.load_params(defaults)
+        self.priors.update(priors)
+        self.initparams.update(initparams)
+
+        self.station = self.initparams.get('station')
+        self.savepath = op.join(self.initparams['savepath'], 'data')
+        os.makedirs(self.savepath, exist_ok=True)
+
+        # config pickle for offline plotting (src/mcmcOptimizer.py:52-55)
+        outfile = op.join(self.savepath, '%s_config.pkl' % self.station)
+        cfgio.save_config(targets, outfile, priors=self.priors,
+                          initparams=self.initparams)
+
+        self.targets = targets
+        self.nchains = int(self.initparams.get('nchains'))
+        self.ntargets = len(targets.targets)
+
+        self.iter_phase1 = int(self.initparams['iter_burnin'])
+        self.iter_phase2 = int(self.initparams['iter_main'])
+        self.iterations = self.iter_phase1 + self.iter_phase2
+        self.maxlayers = int(self.priors['layers'][1]) + 1
+
+        noiserefs = [t.noiseref for t in targets.targets]
+        self.cfg = make_config(self.priors, self.initparams, noiserefs,
+                               nl=self.maxlayers, dtype=dtype)
+        self.eval_fn = build_evaluator(targets, self.priors,
+                                       self.initparams, self.maxlayers,
+                                       dtype=dtype)
+        (self.init_fn, self.iterate_fn, self.run_fn,
+         self.snapshot_fn) = build_sampler(self.eval_fn, self.cfg)
+
+        # device mesh over the chain axis
+        self.devices = devices if devices is not None else jax.devices()
+        self.mesh = Mesh(np.array(self.devices), ('chains',))
+        self.sharding = NamedSharding(self.mesh, P('chains'))
+
+        # pad chain count to the device count
+        ndev = len(self.devices)
+        self.nchains_padded = int(np.ceil(self.nchains / ndev) * ndev)
+        if self.nchains_padded != self.nchains:
+            logger.info('> Padding %d chains to %d for %d devices.'
+                        % (self.nchains, self.nchains_padded, ndev))
+
+        logger.info('> %d chain(s) are initiated on %d device(s)...'
+                    % (self.nchains, ndev))
+
+        self._run_batch = jax.jit(
+            jax.vmap(lambda s, ns, th: self.run_fn(s, ns, th),
+                     in_axes=(0, None, None)),
+            static_argnums=(1, 2))
+
+    # ------------------------------------------------------------------
+
+    def _init_states(self):
+        keys = jax.random.split(jax.random.PRNGKey(self.seed),
+                                self.nchains_padded)
+        init_batch = jax.jit(jax.vmap(self.init_fn))
+        states = init_batch(keys)
+        return jax.device_put(states, self.sharding)
+
+    def _phase_plan(self, niter):
+        """(thin, n_snap, remainder) so that n_snap <= maxmodels and
+        n_snap*thin + remainder == niter."""
+        maxmodels = int(self.initparams['maxmodels'])
+        if niter <= 0:
+            return 1, 0, 0
+        thin = int(np.ceil(niter / maxmodels))
+        n_snap = niter // thin
+        rem = niter - n_snap * thin
+        return thin, n_snap, rem
+
+    def _run_phase(self, states, niter, label, baywatch_pub=None,
+                   dtsend=0.5, t0=None):
+        """Run one phase in segments; returns (states, snapshots dict
+        of stacked host arrays (chains, n_snap, ...))."""
+        thin, n_snap, rem = self._phase_plan(niter)
+        if n_snap == 0:
+            return states, None
+
+        # segment so that each jitted call covers >= ~5000 iterations
+        snaps_per_seg = max(1, min(n_snap, int(np.ceil(5000 / thin))))
+        parts = []
+        done = 0
+        last_send = 0.0
+        while done < n_snap:
+            k = min(snaps_per_seg, n_snap - done)
+            states, snaps = self._run_batch(states, k, thin)
+            parts.append(jax.device_get(snaps))
+            done += k
+
+            logL = np.asarray(parts[-1]['logL'])[:self.nchains, -1]
+            misf = np.asarray(parts[-1]['misfits'])[:self.nchains, -1, -1]
+            runtime = time.time() - (t0 or time.time())
+            logger.info(
+                '%s %7d/%d it | logL med %9.1f | joint misfit med '
+                '%8.3f | %6.1f s' % (label, done * thin, niter,
+                                     float(np.median(logL)),
+                                     float(np.median(misf)), runtime))
+            if baywatch_pub is not None \
+                    and time.time() - last_send > dtsend:
+                self._publish(baywatch_pub, parts[-1])
+                last_send = time.time()
+
+        if rem > 0:
+            states, _ = self._run_batch(states, 1, rem)
+
+        snapshots = {k: np.concatenate([p[k] for p in parts], axis=1)
+                     for k in parts[0]}
+        return states, snapshots
+
+    def _publish(self, socket, snaps):
+        """Latest-state telemetry in the reference BayWatch wire layout
+        (reference: src/mcmcOptimizer.py:140-200): three arrays —
+        [vpvs | model], likes, noise."""
+        C = self.nchains
+        models = np.asarray(snaps['model'])[:C, -1, :].astype(np.float32)
+        vpvs = np.asarray(snaps['vpvs'])[:C, -1:].astype(np.float32)
+        likes = np.asarray(snaps['logL'])[:C, -1:].astype(np.float32)
+        noise = np.asarray(snaps['noise'])[:C, -1, :].astype(np.float32)
+        socket.send_array(np.concatenate((vpvs, models), axis=1))
+        socket.send_array(likes)
+        socket.send_array(noise)
+
+    # ------------------------------------------------------------------
+
+    def mp_inversion(self, nthreads=0, baywatch=False, dtsend=0.5):
+        """Run the full inversion.  ``nthreads`` is accepted for
+        reference API compatibility and ignored (chains run as one
+        batched device program)."""
+        t0 = time.time()
+
+        socket = None
+        if baywatch:
+            try:
+                import zmq
+                from bayhunter_tpu.utils import SerializingContext
+                context = SerializingContext()
+                socket = context.socket(zmq.PUB)
+                socket.bind(self.sock_addr)
+                logger.info('Starting BayWatch publisher on %s...'
+                            % self.sock_addr)
+            except Exception as exc:  # pragma: no cover
+                logger.warning('BayWatch publisher unavailable: %s' % exc)
+
+        states = self._init_states()
+
+        states, p1 = self._run_phase(
+            states, self.iter_phase1, 'burn-in', baywatch_pub=socket,
+            dtsend=dtsend, t0=t0)
+        states, p2 = self._run_phase(
+            states, self.iter_phase2, 'main   ', baywatch_pub=socket,
+            dtsend=dtsend, t0=t0)
+
+        self._save_phase(p1, 'p1')
+        self._save_phase(p2, 'p2')
+
+        self.final_states = states
+        runtime = time.time() - t0
+        total_props = self.iterations * self.nchains
+        logger.info('> All chains terminated after: %.5f s' % runtime)
+        logger.info('### time for inversion: %.2f s (%.0f proposals/s '
+                    'aggregate)' % (runtime, total_props / runtime))
+        if socket is not None:
+            time.sleep(2 * dtsend)
+            socket.close()
+        return runtime
+
+    def _save_phase(self, snaps, tag):
+        """Write the reference's per-chain .npy contract
+        (reference: src/SingleChain.py:665-690)."""
+        if snaps is None:
+            return
+        names = {'model': 'models', 'logL': 'likes',
+                 'misfits': 'misfits', 'noise': 'noise', 'vpvs': 'vpvs'}
+        for c in range(self.nchains):
+            for key, name in names.items():
+                arr = np.asarray(snaps[key][c], np.float32)
+                outfile = op.join(self.savepath,
+                                  'c%.3d_%s%s' % (c, tag, name))
+                np.save(outfile, arr)
+        nmodels = snaps['logL'].shape[1]
+        logger.info('> Saving %d models (%s phase) for %d chains.'
+                    % (nmodels, tag, self.nchains))

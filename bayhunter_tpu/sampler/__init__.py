@@ -1,0 +1,13 @@
+"""On-device transdimensional Metropolis-Hastings sampler.
+
+The reference's process-per-chain sequential loop
+(reference: src/SingleChain.py:591-644) becomes:
+  * chains = a vmapped/shard_mapped batch axis,
+  * iterations = a lax.scan with a carried ChainState pytree,
+  * posterior storage = periodic state snapshots (statistically
+    identical to the reference's accepted-model weighting).
+"""
+
+from bayhunter_tpu.sampler.chain import (ChainState, SamplerConfig,
+                                         build_sampler)  # noqa: F401
+from bayhunter_tpu.sampler.evaluator import build_evaluator  # noqa: F401

@@ -1,0 +1,449 @@
+"""Transdimensional Metropolis-Hastings chain as a lax.scan kernel.
+
+The reference's ``SingleChain`` (reference: src/SingleChain.py) is an
+object-oriented sequential loop; here the chain is a pure function
+``iterate(state) -> state`` scanned over iterations and vmapped over a
+chain batch axis.  Faithful ports:
+
+  * six move types — vs, z-position, layer birth, layer death, noise,
+    vp/vs — with dimension moves locked out for the first 1% of
+    iterations (src/SingleChain.py:511-517),
+  * proposal validity (prior bounds, thickmin, LVZ/HVZ;
+    src/SingleChain.py:330-392) — invalid proposals skip the counters
+    exactly as the reference does (src/SingleChain.py:540-553),
+  * Bodin et al. (2012) birth/death acceptance terms
+    (src/SingleChain.py:452-487),
+  * per-1000-iteration proposal-width adaptation into [40,45]%
+    acceptance with the all-proposed gate and the 0.001 floor
+    (src/SingleChain.py:425-450, 584-587),
+  * posterior = periodic state snapshots; the reference's
+    repeat-by-wait-time weighting over accepted models
+    (src/SingleChain.py:646-663) is exactly the per-iteration state
+    sequence, so uniform thinning of that sequence is the same
+    estimator with stride = iterations/maxmodels.
+
+Transdimensional moves keep static shapes: birth writes into slot ``n``
+and resorts; death gathers left over the removed slot.  A proposal with
+``n`` outside the layer prior is rejected by the validity mask, so no
+clamping logic leaks into the statistics.
+"""
+
+import typing
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from bayhunter_tpu.ops.voronoi import (model_is_valid, sort_by_depth,
+                                       to_reference_vector)
+
+# move ids
+MOVE_VS, MOVE_Z, MOVE_BIRTH, MOVE_DEATH, MOVE_NOISE, MOVE_VPVS = range(6)
+# PAR_MAP: move -> propdist/counter index (src/SingleChain.py:21-22)
+PARIDX = np.array([0, 1, 2, 2, 3, 4])
+
+
+class ChainState(typing.NamedTuple):
+    key: jax.Array          # PRNG key
+    vs: jax.Array           # (NL,) nuclei velocities
+    z: jax.Array            # (NL,) nuclei depths (sorted over [:n])
+    n: jax.Array            # () int32 — nuclei count incl. halfspace
+    vpvs: jax.Array         # ()
+    noise: jax.Array        # (2T,) [corr, sigma] per target
+    logL: jax.Array         # ()
+    misfits: jax.Array      # (T+1,)
+    propdist: jax.Array     # (5,)
+    accepted: jax.Array     # (5,) int32
+    proposed: jax.Array     # (5,) int32
+    iiter: jax.Array        # () int32 — negative during burn-in
+
+
+class SamplerConfig(typing.NamedTuple):
+    """Static (host) configuration; see defaults/defaults.ini and
+    reference src/SingleChain.py:33-59."""
+    nl: int
+    ntargets: int
+    vs_prior: tuple
+    z_prior: tuple
+    layers_prior: tuple
+    vpvs_prior: object          # float (fixed) or (lo, hi)
+    mohoest: object             # None or (mean, std)
+    mantle: object              # None or (vs, vpvs)
+    thickmin: float
+    lvz: object
+    hvz: object
+    noise_priors: tuple         # 2T entries: float or (lo, hi)
+    propdist: tuple             # 5 initial proposal widths
+    acceptance: tuple           # (lo, hi) percent
+    iter_burnin: int
+    iter_main: int
+    dtype: object = jnp.float32
+
+    @property
+    def noiseinds(self):
+        return tuple(i for i, p in enumerate(self.noise_priors)
+                     if not isinstance(p, (int, float)))
+
+    @property
+    def vpvs_inverted(self):
+        return not isinstance(self.vpvs_prior, (int, float))
+
+
+def make_config(priors, initparams, noiserefs, nl=None,
+                dtype=jnp.float32):
+    """Build a SamplerConfig from reference-style priors/initparams
+    dicts and the list of target noiserefs ('swd'/'rf' per target)."""
+    layers = tuple(int(v) for v in priors['layers'])
+    if nl is None:
+        nl = layers[1] + 1  # maxlayers (src/mcmcOptimizer.py:64)
+    noise_priors = []
+    for nref in noiserefs:
+        for pname in ('noise_corr', 'noise_sigma'):
+            prior = priors[nref + pname]
+            if isinstance(prior, (list, tuple)):
+                noise_priors.append((float(prior[0]), float(prior[1])))
+            else:
+                noise_priors.append(float(prior))
+    vpvs = priors['vpvs']
+    vpvs = float(vpvs) if isinstance(vpvs, (int, float)) \
+        else (float(vpvs[0]), float(vpvs[1]))
+    mohoest = priors.get('mohoest', None)
+    if mohoest is not None:
+        mohoest = (float(mohoest[0]), float(mohoest[1]))
+    mantle = priors.get('mantle', None)
+    if mantle is not None:
+        mantle = (float(mantle[0]), float(mantle[1]))
+    lvz = priors.get('lvz', None) if 'lvz' in priors else None
+    hvz = priors.get('hvz', None) if 'hvz' in priors else None
+    # lvz/hvz live in initparams in the reference config
+    lvz = initparams.get('lvz', lvz)
+    hvz = initparams.get('hvz', hvz)
+    return SamplerConfig(
+        nl=int(nl),
+        ntargets=len(noiserefs),
+        vs_prior=tuple(float(v) for v in priors['vs']),
+        z_prior=tuple(float(v) for v in priors['z']),
+        layers_prior=layers,
+        vpvs_prior=vpvs,
+        mohoest=mohoest,
+        mantle=mantle,
+        thickmin=float(initparams['thickmin']),
+        lvz=None if lvz is None else float(lvz),
+        hvz=None if hvz is None else float(hvz),
+        noise_priors=tuple(noise_priors),
+        propdist=tuple(float(v) for v in initparams['propdist']),
+        acceptance=tuple(float(v) for v in initparams['acceptance']),
+        iter_burnin=int(initparams['iter_burnin']),
+        iter_main=int(initparams['iter_main']),
+        dtype=dtype)
+
+
+def build_sampler(eval_fn, cfg):
+    """Return (init_fn, iterate_fn, run_fn, snapshot_fn).
+
+    ``eval_fn(vs, z, n, vpvs, noise) -> (logL, misfits, valid)`` is the
+    batched joint-target evaluator (sampler/evaluator.py).
+    """
+    nl = cfg.nl
+    dtype = cfg.dtype
+    vsmin, vsmax = cfg.vs_prior
+    zmin, zmax = cfg.z_prior
+    dv = vsmax - vsmin
+    acc_lo, acc_hi = cfg.acceptance
+    iterations = cfg.iter_burnin + cfg.iter_main
+    early_cutoff = -cfg.iter_burnin + iterations * 0.01
+
+    priors_dict = {'layers': cfg.layers_prior, 'vs': cfg.vs_prior,
+                   'z': cfg.z_prior}
+
+    noiseinds = np.asarray(cfg.noiseinds, np.int32)
+    n_noise = len(cfg.noise_priors)
+    noise_lo = np.full(n_noise, -np.inf)
+    noise_hi = np.full(n_noise, np.inf)
+    for i, p in enumerate(cfg.noise_priors):
+        if not isinstance(p, (int, float)):
+            noise_lo[i], noise_hi[i] = p
+    noise_lo_j = jnp.asarray(noise_lo, dtype)
+    noise_hi_j = jnp.asarray(noise_hi, dtype)
+    noiseinds_j = jnp.asarray(noiseinds) if noiseinds.size else None
+
+    # move sets (src/SingleChain.py:596-599 & 511-517)
+    late_moves = [MOVE_VS, MOVE_Z, MOVE_BIRTH, MOVE_DEATH]
+    early_moves = [MOVE_VS, MOVE_Z]
+    if noiseinds.size:
+        late_moves.append(MOVE_NOISE)
+        early_moves.append(MOVE_NOISE)
+    if cfg.vpvs_inverted:
+        late_moves.append(MOVE_VPVS)
+        early_moves.append(MOVE_VPVS)
+    late_arr = jnp.asarray(np.array(late_moves, np.int32))
+    early_arr = jnp.asarray(np.array(early_moves, np.int32))
+    paridx_arr = jnp.asarray(PARIDX)
+
+    idx_nl = jnp.arange(nl)
+    zero = jnp.zeros((), dtype)
+
+    # ------------------------------------------------------------------
+    # move branches — all return (vs, z, n, noise, vpvs, dvs2)
+    # ------------------------------------------------------------------
+
+    def move_vs(state, k1, k2):
+        """Gaussian Vs perturbation of one nucleus
+        (src/SingleChain.py:287-292)."""
+        ind = random.randint(k1, (), 0, state.n)
+        delta = random.normal(k2, dtype=dtype) * state.propdist[0]
+        return (state.vs.at[ind].add(delta), state.z, state.n,
+                state.noise, state.vpvs, zero)
+
+    def move_z(state, k1, k2):
+        """Gaussian nucleus-depth move (src/SingleChain.py:294-299)."""
+        ind = random.randint(k1, (), 0, state.n)
+        delta = random.normal(k2, dtype=dtype) * state.propdist[1]
+        return (state.vs, state.z.at[ind].add(delta), state.n,
+                state.noise, state.vpvs, zero)
+
+    def move_birth(state, k1, k2):
+        """Layer birth: new nucleus at uniform depth, Vs from nearest
+        nucleus + Gaussian (src/SingleChain.py:246-267)."""
+        z_birth = random.uniform(k1, (), dtype, zmin, zmax)
+        dist = jnp.where(idx_nl < state.n,
+                         jnp.abs(state.z - z_birth), jnp.inf)
+        ind = jnp.argmin(dist)
+        vs_before = state.vs[ind]
+        vs_birth = vs_before \
+            + random.normal(k2, dtype=dtype) * state.propdist[2]
+        slot = jnp.minimum(state.n, nl - 1)
+        vs = state.vs.at[slot].set(vs_birth)
+        z = state.z.at[slot].set(z_birth)
+        dvs2 = jnp.square(vs_birth - vs_before)
+        return vs, z, state.n + 1, state.noise, state.vpvs, dvs2
+
+    def move_death(state, k1, k2):
+        """Layer death: remove a random nucleus; dvs2 from the nearest
+        surviving nucleus (src/SingleChain.py:269-285)."""
+        ind = random.randint(k1, (), 0, state.n)
+        z_before = state.z[ind]
+        vs_before = state.vs[ind]
+        src = jnp.clip(idx_nl + (idx_nl >= ind), 0, nl - 1)
+        vs = state.vs[src]
+        z = state.z[src]
+        n_new = state.n - 1
+        dist = jnp.where(idx_nl < n_new, jnp.abs(z - z_before), jnp.inf)
+        vs_after = vs[jnp.argmin(dist)]
+        dvs2 = jnp.square(vs_after - vs_before)
+        return vs, z, n_new, state.noise, state.vpvs, dvs2
+
+    def move_noise(state, k1, k2):
+        """Perturb one non-fixed noise hyperparameter
+        (src/SingleChain.py:394-400)."""
+        pick = random.randint(k1, (), 0, len(noiseinds))
+        ind = noiseinds_j[pick]
+        delta = random.normal(k2, dtype=dtype) * state.propdist[3]
+        return (state.vs, state.z, state.n,
+                state.noise.at[ind].add(delta), state.vpvs, zero)
+
+    def move_vpvs(state, k1, k2):
+        """Perturb vp/vs (src/SingleChain.py:409-413)."""
+        delta = random.normal(k2, dtype=dtype) * state.propdist[4]
+        return (state.vs, state.z, state.n, state.noise,
+                state.vpvs + delta, zero)
+
+    branches = [move_vs, move_z, move_birth, move_death]
+    branches.append(move_noise if noiseinds.size else move_vs)
+    branches.append(move_vpvs)
+
+    def _valid_noise(noise):
+        if not noiseinds.size:
+            return jnp.asarray(True)
+        ok = (noise >= noise_lo_j) & (noise <= noise_hi_j)
+        return jnp.all(ok)
+
+    def _valid_vpvs(vpvs):
+        if not cfg.vpvs_inverted:
+            return jnp.asarray(True)
+        lo, hi = cfg.vpvs_prior
+        return (vpvs >= lo) & (vpvs <= hi)
+
+    # ------------------------------------------------------------------
+    # one Metropolis-Hastings iteration (src/SingleChain.py:511-589)
+    # ------------------------------------------------------------------
+
+    def iterate(state, _=None):
+        key, k_sel, k1, k2, k_u = random.split(state.key, 5)
+
+        early = state.iiter < early_cutoff
+        pick_e = random.randint(k_sel, (), 0, len(early_moves))
+        pick_l = random.randint(k_sel, (), 0, len(late_moves))
+        move_id = jnp.where(early, early_arr[pick_e], late_arr[pick_l])
+
+        vs_p, z_p, n_p, noise_p, vpvs_p, dvs2 = lax.switch(
+            move_id, branches, state, k1, k2)
+
+        # model proposals are re-sorted by depth
+        # (src/SingleChain.py:315-328); noise/vpvs moves leave (vs, z)
+        # untouched and already sorted, so sorting unconditionally is a
+        # no-op for them.
+        vs_p, z_p = sort_by_depth(vs_p, z_p, n_p)
+
+        vmodel = model_is_valid(vs_p, z_p, n_p, state.vpvs, priors_dict,
+                                cfg.thickmin, cfg.lvz, cfg.hvz,
+                                mantle=cfg.mantle)
+        valid = jnp.where(move_id < 4, vmodel,
+                          jnp.where(move_id == MOVE_NOISE,
+                                    _valid_noise(noise_p),
+                                    _valid_vpvs(vpvs_p)))
+
+        logL_p, misfits_p, _ = eval_fn(vs_p, z_p, n_p, vpvs_p, noise_p)
+
+        # acceptance probability (src/SingleChain.py:452-487)
+        theta = state.propdist[2]
+        log_a_birth = jnp.log(theta * jnp.sqrt(2.0 * jnp.pi) / dv)
+        b_term = dvs2 / (2.0 * jnp.square(theta))
+        alpha = logL_p - state.logL
+        alpha = jnp.where(move_id == MOVE_BIRTH,
+                          alpha + log_a_birth + b_term, alpha)
+        alpha = jnp.where(move_id == MOVE_DEATH,
+                          alpha - log_a_birth - b_term, alpha)
+
+        u = jnp.log(random.uniform(k_u, dtype=dtype))
+        accept = (u < alpha) & valid
+
+        def sel(new, old):
+            return jnp.where(accept, new, old)
+
+        paridx = paridx_arr[move_id]
+        onehot = (jnp.arange(5) == paridx)
+        proposed = state.proposed + jnp.where(valid, onehot, False)
+        accepted = state.accepted + jnp.where(accept, onehot, False)
+
+        # adaptive proposal widths (src/SingleChain.py:425-450,584-587)
+        do_adapt = (jnp.mod(state.iiter, 1000) == 0) \
+            & jnp.all(proposed > 0)
+        rates = accepted / jnp.maximum(proposed, 1) * 100.0
+        factor = jnp.where(rates < acc_lo, 0.95,
+                           jnp.where(rates > acc_hi, 1.05, 1.0))
+        new_pd = state.propdist * factor.astype(dtype)
+        new_pd = jnp.where(rates < acc_lo,
+                           jnp.maximum(new_pd, 0.001), new_pd)
+        propdist = jnp.where(do_adapt, new_pd, state.propdist)
+
+        new_state = ChainState(
+            key=key,
+            vs=sel(vs_p, state.vs),
+            z=sel(z_p, state.z),
+            n=jnp.where(accept, n_p, state.n),
+            vpvs=sel(vpvs_p, state.vpvs),
+            noise=sel(noise_p, state.noise),
+            logL=sel(logL_p, state.logL),
+            misfits=sel(misfits_p, state.misfits),
+            propdist=propdist,
+            accepted=accepted,
+            proposed=proposed,
+            iiter=state.iiter + 1)
+        return new_state, None
+
+    # ------------------------------------------------------------------
+    # initial state (src/SingleChain.py:71-157)
+    # ------------------------------------------------------------------
+
+    n_init = cfg.layers_prior[0] + 1  # min layers + halfspace
+
+    def _draw_model(key):
+        kv, kz, km, kt = random.split(key, 4)
+        vs_d = jnp.sort(random.uniform(kv, (n_init,), dtype, vsmin,
+                                       vsmax))
+        if cfg.mohoest is not None and n_init > 1:
+            mean, std = cfg.mohoest
+            moho = mean + std * random.normal(km, dtype=dtype)
+            tmp_z = random.uniform(kt, (), dtype, 1.0,
+                                   jnp.minimum(5.0, moho))
+            z_rest = random.uniform(kz, (n_init,), dtype, zmin, zmax)
+            z_d = z_rest.at[0].set(moho - tmp_z).at[1].set(moho + tmp_z)
+            if n_init == 2:
+                z_d = jnp.stack([moho - tmp_z, moho + tmp_z])
+        else:
+            z_d = random.uniform(kz, (n_init,), dtype, zmin, zmax)
+        z_d = jnp.sort(z_d)
+        vs_full = jnp.full((nl,), vs_d[-1], dtype).at[:n_init].set(vs_d)
+        z_full = jnp.full((nl,), 2.0 * zmax, dtype).at[:n_init].set(z_d)
+        return vs_full, z_full
+
+    def init_fn(key):
+        k_vpvs, k_model, k_noise, k_state = random.split(key, 4)
+
+        if cfg.vpvs_inverted:
+            lo, hi = cfg.vpvs_prior
+            vpvs = random.uniform(k_vpvs, (), dtype, lo, hi)
+        else:
+            vpvs = jnp.asarray(cfg.vpvs_prior, dtype)
+
+        # redraw until valid (src/SingleChain.py:122-123), bounded
+        def cond(carry):
+            _, _, _, ok, tries = carry
+            return (~ok) & (tries < 64)
+
+        def body(carry):
+            key_c, _, _, _, tries = carry
+            key_c, kd = random.split(key_c)
+            vs_c, z_c = _draw_model(kd)
+            ok = model_is_valid(vs_c, z_c, n_init, vpvs, priors_dict,
+                                cfg.thickmin, cfg.lvz, cfg.hvz,
+                                mantle=cfg.mantle)
+            return key_c, vs_c, z_c, ok, tries + 1
+
+        vs0, z0 = _draw_model(k_model)
+        ok0 = model_is_valid(vs0, z0, n_init, vpvs, priors_dict,
+                             cfg.thickmin, cfg.lvz, cfg.hvz,
+                             mantle=cfg.mantle)
+        _, vs0, z0, _, _ = lax.while_loop(
+            cond, body, (k_model, vs0, z0, ok0, jnp.asarray(0)))
+
+        # noise init (src/SingleChain.py:125-150)
+        knoise = random.split(k_noise, max(n_noise, 1))
+        noise_vals = []
+        for i, p in enumerate(cfg.noise_priors):
+            if isinstance(p, (int, float)):
+                noise_vals.append(jnp.asarray(p, dtype))
+            else:
+                noise_vals.append(random.uniform(knoise[i], (), dtype,
+                                                 p[0], p[1]))
+        noise0 = jnp.stack(noise_vals)
+
+        logL0, misfits0, _ = eval_fn(vs0, z0, jnp.asarray(n_init), vpvs,
+                                     noise0)
+        return ChainState(
+            key=k_state, vs=vs0, z=z0,
+            n=jnp.asarray(n_init, jnp.int32),
+            vpvs=vpvs, noise=noise0, logL=logL0, misfits=misfits0,
+            propdist=jnp.asarray(cfg.propdist, dtype),
+            accepted=jnp.zeros(5, jnp.int32),
+            proposed=jnp.zeros(5, jnp.int32),
+            iiter=jnp.asarray(-cfg.iter_burnin, jnp.int32))
+
+    # ------------------------------------------------------------------
+    # runners
+    # ------------------------------------------------------------------
+
+    def snapshot_fn(state):
+        """Posterior sample record in the reference's save layout
+        (src/SingleChain.py:665-690)."""
+        return dict(
+            model=to_reference_vector(state.vs, state.z, state.n),
+            logL=state.logL,
+            misfits=state.misfits,
+            noise=state.noise,
+            vpvs=state.vpvs)
+
+    @partial(jax.jit, static_argnames=('n_snap', 'thin'))
+    def run_fn(state, n_snap, thin):
+        """Advance ``n_snap*thin`` iterations, snapshotting every
+        ``thin``; returns (state, stacked snapshots)."""
+        def chunk(st, _):
+            st2, _ = lax.scan(iterate, st, None, length=thin)
+            return st2, snapshot_fn(st2)
+
+        return lax.scan(chunk, state, None, length=n_snap)
+
+    return init_fn, iterate, run_fn, snapshot_fn

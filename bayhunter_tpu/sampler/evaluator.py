@@ -1,0 +1,189 @@
+"""Batched joint-target evaluator for the on-device sampler.
+
+Builds, from a host-side ``JointTarget``, a pure function
+``eval_fn(vs, z, n, vpvs, noise) -> (logL, misfits, valid)`` evaluating
+one (masked, fixed-shape) Voronoi model against every target — the
+device equivalent of ``JointTarget.evaluate``
+(reference: src/Targets.py:314-347), including the sentinel semantics
+(logL=-1e15, misfits=1e15 on any invalid forward output).
+
+The covariance law per target is fixed at build time following the
+reference's dispatch (reference: src/SingleChain.py:159-205):
+  * corr inverted for            -> exponential law (matrix-free)
+  * corr fixed to 0, NaN yerr    -> diagonal
+  * corr fixed to 0, real yerr   -> diagonal with scaled errors
+  * corr fixed nonzero, RF       -> Gaussian law (dense inverse
+                                    precomputed ONCE on the host with
+                                    optional rcond pinv)
+  * corr fixed nonzero, otherwise-> exponential law
+"""
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from bayhunter_tpu.ops import likelihood as lk
+from bayhunter_tpu.ops.rf import synrf, P_WAVE, SV_WAVE
+from bayhunter_tpu.ops.swd import surfdisp
+from bayhunter_tpu.ops.voronoi import voronoi_to_layers
+
+logger = logging.getLogger(__name__)
+
+SWD_REFS = {'rdispph': (2, 0), 'ldispph': (1, 0),
+            'rdispgr': (2, 1), 'ldispgr': (1, 1)}
+RF_REFS = {'prf': P_WAVE, 'srf': SV_WAVE}
+
+LOGL_SENTINEL = -1e15
+MISFIT_SENTINEL = 1e15
+
+
+def _covariance_kind(target, corr_fixed, corr_value):
+    """Reference: src/SingleChain.py:159-205."""
+    if not corr_fixed:
+        return 'exp'
+    if corr_value == 0 and np.any(np.isnan(target.obsdata.yerr)):
+        return 'nocorr'
+    if corr_value == 0:
+        return 'nocorr_scalederr'
+    if getattr(target, 'noiseref', 'swd') == 'rf':
+        return 'gauss'
+    return 'exp'
+
+
+class _TargetSpec:
+    """Host-precomputed constants for one target."""
+
+    def __init__(self, target, corr_fixed, corr_value, rcond, dtype):
+        self.ref = target.ref
+        self.kind = 'swd' if target.ref in SWD_REFS else \
+            'rf' if target.ref in RF_REFS else 'custom'
+        self.yobs = jnp.asarray(target.obsdata.y, dtype)
+        self.ndata = int(target.obsdata.y.size)
+        self.cov = _covariance_kind(target, corr_fixed, corr_value)
+
+        plugin = target.moddata.plugin
+        if self.kind == 'swd':
+            self.iwave, self.igr = SWD_REFS[target.ref]
+            self.mode = int(plugin.modelparams.get('mode', 1))
+            self.flsph = int(plugin.modelparams.get('flsph', 0))
+            obsx = np.asarray(target.obsdata.x, float)
+            if obsx.size > 60:
+                # reference 60-period cap + interpolation
+                # (src/surf96_modsw.py:35-43,106-122)
+                self.periods = jnp.asarray(
+                    np.linspace(obsx.min(), obsx.max(), 60), dtype)
+                self.interp_x = jnp.asarray(obsx, dtype)
+            else:
+                self.periods = jnp.asarray(obsx, dtype)
+                self.interp_x = None
+        elif self.kind == 'rf':
+            self.wave_type = RF_REFS[target.ref]
+            self.fsamp = float(plugin.fsamp)
+            self.tshift = float(plugin.tshft)
+            self.nsamp = int(plugin.nsamp)
+            self.gauss_a = float(plugin.modelparams['gauss'])
+            self.p = float(plugin.modelparams['p'])
+            self.nsv = plugin.modelparams.get('nsv', None)
+        else:
+            raise NotImplementedError(
+                'custom targets need a batched forward fn; ref=%s. '
+                'Use the host path (MCMC mode "host") or contribute a '
+                'kernel.' % target.ref)
+
+        if self.cov == 'gauss':
+            corr_inv, logdet = lk.init_covariance_gauss(
+                corr_value, self.ndata, rcond=rcond)
+            self.corr_inv = jnp.asarray(corr_inv, dtype)
+            self.logcorr_det = float(logdet)
+        elif self.cov == 'nocorr_scalederr':
+            yerr = np.asarray(target.obsdata.yerr, float)
+            scaled = yerr / yerr.min()
+            self.scaled_err = jnp.asarray(scaled, dtype)
+            self.log_scalederr_sum = float(np.sum(np.log(scaled)))
+
+
+def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
+    """Return ``eval_fn(vs, z, n, vpvs, noise)`` for one chain model.
+
+    ``joint`` is a host JointTarget; ``nl`` the fixed model width
+    (maxlayers+1).  The returned function is pure and vmappable.
+    """
+    rcond = initparams.get('rcond', None)
+    mantle = priors.get('mantle', None)
+    if mantle is not None:
+        mantle = tuple(float(v) for v in mantle)
+
+    # per-target corr prior (fixed vs inverted) — mirrors
+    # draw_initnoiseparams (src/SingleChain.py:125-150)
+    specs = []
+    for target in joint.targets:
+        corr_prior = priors[target.noiseref + 'noise_corr']
+        corr_fixed = isinstance(corr_prior, (int, float))
+        corr_value = float(corr_prior) if corr_fixed else None
+        specs.append(_TargetSpec(target, corr_fixed, corr_value, rcond,
+                                 dtype))
+
+    ntargets = len(specs)
+
+    def eval_fn(vs, z, n, vpvs, noise):
+        h, vp, vs_l, rho = voronoi_to_layers(vs, z, n, vpvs,
+                                             mantle=mantle)
+        logL = jnp.zeros((), dtype)
+        misfits = []
+        valid = jnp.asarray(True)
+
+        for i, spec in enumerate(specs):
+            if spec.kind == 'swd':
+                cg, err = surfdisp(h, vp, vs_l, rho, spec.periods,
+                                   iwave=spec.iwave, igr=spec.igr,
+                                   mode=spec.mode, iflsph=spec.flsph)
+                if spec.interp_x is not None:
+                    y = jnp.interp(spec.interp_x, spec.periods, cg)
+                else:
+                    y = cg
+                tvalid = jnp.logical_not(err)
+            else:  # rf
+                qp = jnp.full((nl,), 500.0, dtype)
+                qs = jnp.full((nl,), 225.0, dtype)
+                vpvs0 = vp[0] / vs_l[0]
+                poisson = (2.0 - vpvs0 ** 2) / (2.0 - 2.0 * vpvs0 ** 2)
+                nsv = vs_l[0] if spec.nsv is None else spec.nsv
+                _, _, rf_t = synrf(h, vp, vs_l, rho, qp, qs,
+                                   spec.p, spec.gauss_a, spec.nsamp,
+                                   spec.fsamp, spec.tshift, nsv,
+                                   poisson, wave_type=spec.wave_type)
+                y = rf_t[:spec.ndata]
+                tvalid = jnp.all(jnp.isfinite(y))
+
+            ydiff = y - spec.yobs
+            misfits.append(jnp.sqrt(jnp.mean(
+                jnp.where(tvalid, ydiff, 0.0) ** 2)))
+
+            corr = noise[2 * i]
+            sigma = noise[2 * i + 1]
+            ydiff_safe = jnp.where(tvalid, ydiff, 0.0)
+            if spec.cov == 'exp':
+                logL_i = lk.loglike_exp(ydiff_safe, sigma, corr)
+            elif spec.cov == 'nocorr':
+                logL_i = lk.loglike_nocorr(ydiff_safe, sigma)
+            elif spec.cov == 'nocorr_scalederr':
+                logL_i = lk.loglike_nocorr_scalederr(
+                    ydiff_safe, sigma, spec.scaled_err,
+                    spec.log_scalederr_sum)
+            else:  # gauss
+                logL_i = lk.loglike_gauss(ydiff_safe, sigma,
+                                          spec.corr_inv,
+                                          spec.logcorr_det)
+            logL = logL + logL_i
+            valid = valid & tvalid
+
+        valid = valid & jnp.isfinite(logL)
+        misfits = jnp.stack(misfits + [sum(misfits)])
+        logL = jnp.where(valid, logL, LOGL_SENTINEL)
+        misfits = jnp.where(valid, misfits, MISFIT_SENTINEL)
+        return logL, misfits.astype(dtype), valid
+
+    eval_fn.ntargets = ntargets
+    eval_fn.specs = specs
+    return eval_fn
