@@ -5,25 +5,40 @@ stack of flat (or earth-flattened spherical) layers — the TPU-native
 equivalent of the reference's Fortran SURF96 solver
 (reference: src/extensions/surfdisp96.f:55-1068).
 
-Algorithm (matching the reference numerics):
+Numerics match the reference:
   * Rayleigh (P-SV) secular function: Dunkin 5-component compound
     matrix recursion from the halfspace upward, with per-layer
     max-abs renormalization (reference ``dltar4``/``dnka``/``var``/
     ``normc``, surfdisp96.f:773-1068).
   * Love (SH): 2-vector Haskell recursion (reference ``dltar1``,
     surfdisp96.f:710-769).
-  * Root search per period: directional bracketing walk with the
-    mode-jump polarity guard (reference ``getsol``,
-    surfdisp96.f:390-482), followed by fixed-iteration bisection
-    (replacing the branch-heavy Neville/bisection hybrid ``nevill`` —
-    bisection only needs the *sign* of the secular function, which is
-    invariant under the per-layer positive renormalization, so no
-    extended-exponent bookkeeping is needed).
-  * Group velocity from two phase solves at ``t/(1±h)``, h=0.005
-    (reference surfdisp96.f:232-239, 282-307).
   * Spherical earth flattening with layer-midpoint velocity mapping
     and Biswas density mapping (reference ``sphere``,
     surfdisp96.f:486-553).
+  * Group velocity from two phase solves at ``t/(1±h)``, h=0.005
+    (reference surfdisp96.f:232-239, 282-307).
+
+The *root search* is redesigned TPU-first.  The reference walks the
+phase-velocity axis sequentially per period, threading the previous
+period's root as a starting guess (``getsol``/``nevill``,
+surfdisp96.f:390-482, 557-674) — a long serial dependence chain that
+is hostile to a vector machine.  Here every period is independent:
+
+  1. **Block bracketing with root counting.**  The secular function is
+     evaluated on blocks of K phase-velocity grid points (step DDC,
+     the reference's ddc) simultaneously for all periods, walking up
+     from the same guaranteed lower bound ``cm`` the reference uses
+     for its first period (surfdisp96.f:140-217).  The m-th sign
+     change *is* the m-th mode — higher modes come from counting sign
+     changes instead of the reference's fragile mode-jump guards.
+  2. **K-section refinement.**  The bracket (width DDC) is narrowed by
+     a factor (KR+1) per iteration by evaluating KR interior points at
+     once — 3 iterations reach DDC/(KR+1)^3 ≈ 1e-6 km/s, replacing
+     ~30 serial bisection steps with 3 wide vector steps.
+
+Only the *sign* of the secular function is consumed, which is
+invariant under the per-layer positive renormalization, so no
+extended-exponent bookkeeping is needed.
 
 Shape contract: all layer arrays are fixed-width ``(NL,)`` with the
 halfspace in the LAST slot and zero-thickness padded slots replicating
@@ -39,15 +54,13 @@ import jax.numpy as jnp
 from jax import lax
 
 TWOPI = 2.0 * jnp.pi
-DDC = 0.005          # phase-velocity bracketing increment (surfdisp96.f:126)
-SONE = 1.5           # back-off multiplier "sone" (surfdisp96.f:124)
+DDC = 0.005          # phase-velocity grid step (surfdisp96.f:126)
 HGR = 0.005          # group-velocity frequency increment (surfdisp96.f:128)
-ONE = 1.0e-2         # clow offset multiplier (surfdisp96.f:136)
 EARTH_R = 6370.0     # sphere(): ar (surfdisp96.f:517)
 
 
 # --------------------------------------------------------------------------
-# secular functions
+# secular functions — candidate-parallel over arbitrary wvno shapes
 # --------------------------------------------------------------------------
 
 def _vertical_wavenumber(wvno, xk):
@@ -89,7 +102,10 @@ def _var_quantities(pq, r, wvno, xk, dpth):
 
 def _dnka(wvno2, gam, gammk, rho, a0, cpcq, cpy, cpz, cqw, cqx,
           xy, xz, wy, wz):
-    """Dunkin's 5x5 compound matrix (surfdisp96.f:1024-1068)."""
+    """Dunkin's 5x5 compound matrix (surfdisp96.f:1024-1068).
+
+    All inputs broadcast to the candidate shape S; returns (S, 5, 5).
+    """
     one, two = 1.0, 2.0
     gamm1 = gam - one
     twgm1 = gam + gamm1
@@ -139,22 +155,21 @@ def _dnka(wvno2, gam, gammk, rho, a0, cpcq, cpy, cpz, cqw, cqx,
 def dltar4(wvno, omega, d, a, b, rho, water):
     """Rayleigh-wave period (secular) equation.
 
-    Port of ``dltar4`` (surfdisp96.f:773-871).  ``d,a,b,rho`` are
-    ``(NL,)`` padded layer arrays with the halfspace in the last slot;
-    ``water`` is a boolean scalar (surface water layer present).
-    Returns a value whose sign (and approximate relative magnitude)
-    matches the reference; overall positive scale is arbitrary due to
-    per-layer renormalization.
+    Port of ``dltar4`` (surfdisp96.f:773-871), candidate-parallel:
+    ``wvno``/``omega`` may have any (broadcastable) shape S;
+    ``d,a,b,rho`` are ``(NL,)`` padded layer arrays with the halfspace
+    in the last slot; ``water`` is a boolean scalar (surface water
+    layer present).  Returns shape-S values whose sign matches the
+    reference; the positive scale is arbitrary due to per-layer
+    renormalization.
     """
     omega = jnp.maximum(omega, 1.0e-4)
+    wvno, omega = jnp.broadcast_arrays(wvno, omega)
     wvno2 = wvno * wvno
 
-    xka = omega / a
-    xkb = omega / b
-    ra = _vertical_wavenumber(wvno, xka)
-    rb = _vertical_wavenumber(wvno, xkb)
-
     # halfspace E vector (surfdisp96.f:798-808)
+    ra_hs = _vertical_wavenumber(wvno, omega / a[-1])
+    rb_hs = _vertical_wavenumber(wvno, omega / b[-1])
     t_hs = b[-1] / omega
     gammk_hs = 2.0 * t_hs * t_hs
     gam_hs = gammk_hs * wvno2
@@ -162,105 +177,91 @@ def dltar4(wvno, omega, d, a, b, rho, water):
     rho_hs = rho[-1]
     e = jnp.stack([
         rho_hs * rho_hs * (gamm1_hs * gamm1_hs
-                           - gam_hs * gammk_hs * ra[-1] * rb[-1]),
-        -rho_hs * ra[-1],
-        rho_hs * (gamm1_hs - gammk_hs * ra[-1] * rb[-1]),
-        rho_hs * rb[-1],
-        wvno2 - ra[-1] * rb[-1],
-    ])
-
-    # per-layer var() + dnka() quantities, all layers at once
-    t_l = b / omega
-    gammk = 2.0 * t_l * t_l
-    gam = gammk * wvno2
-    p = ra * d
-    q = rb * d
-
-    cosp, w, x, pex = _var_quantities(p, ra, wvno, xka, d)
-    cosq, y, z, sex = _var_quantities(q, rb, wvno, xkb, d)
-
-    exa = pex + sex
-    a0 = jnp.where(exa < 60.0, jnp.exp(-exa), 0.0)
-    cpcq = cosp * cosq
-    cpy = cosp * y
-    cpz = cosp * z
-    cqw = cosq * w
-    cqx = cosq * x
-    xy = x * y
-    xz = x * z
-    wy = w * y
-    wz = w * z
-
-    ca = _dnka(wvno2, gam, gammk, rho, a0, cpcq, cpy, cpz, cqw, cqx,
-               xy, xz, wy, wz)  # (NL, 5, 5)
+                           - gam_hs * gammk_hs * ra_hs * rb_hs),
+        -rho_hs * ra_hs,
+        rho_hs * (gamm1_hs - gammk_hs * ra_hs * rb_hs),
+        rho_hs * rb_hs,
+        wvno2 - ra_hs * rb_hs,
+    ], axis=-1)  # (S, 5)
 
     nl = d.shape[-1]
-    # multiply from the layer above the halfspace (slot NL-2) upward to
-    # the surface (slot 0); if a water layer is present the top solid
-    # layer is slot 1 and slot 0 is handled by the water boundary below.
-    def step(ee, inputs):
-        ca_m, is_top_water = inputs
-        een = ee @ ca_m
-        een = jnp.where(is_top_water, ee, een)  # skip water layer
-        nrm = jnp.max(jnp.abs(een))
+    # propagate from the layer above the halfspace (slot NL-2) up to the
+    # surface (slot 0); a surface water layer (slot 0) is skipped here
+    # and handled by the water boundary below.
+    order = jnp.arange(nl - 2, -1, -1)
+    xs = (d[order], a[order], b[order], rho[order],
+          water & (order == 0))
+
+    def step(ee, layer):
+        d_l, a_l, b_l, rho_l, skip = layer
+        xka = omega / a_l
+        xkb = omega / b_l
+        ra = _vertical_wavenumber(wvno, xka)
+        rb = _vertical_wavenumber(wvno, xkb)
+        t_l = b_l / omega
+        gammk = 2.0 * t_l * t_l
+        gam = gammk * wvno2
+
+        cosp, w, x, pex = _var_quantities(ra * d_l, ra, wvno, xka, d_l)
+        cosq, y, z, sex = _var_quantities(rb * d_l, rb, wvno, xkb, d_l)
+        exa = pex + sex
+        a0 = jnp.where(exa < 60.0, jnp.exp(-exa), 0.0)
+
+        ca = _dnka(wvno2, gam, gammk, rho_l, a0, cosp * cosq,
+                   cosp * y, cosp * z, cosq * w, cosq * x,
+                   x * y, x * z, w * y, w * z)  # (S, 5, 5)
+        een = jnp.einsum('...i,...ij->...j', ee, ca)
+        een = jnp.where(skip, ee, een)
+        nrm = jnp.max(jnp.abs(een), axis=-1, keepdims=True)
         nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
         return een / nrm, None
 
-    order = jnp.arange(nl - 2, -1, -1)
-    ca_seq = ca[order]
-    skip_seq = water & (order == 0)
-    e, _ = lax.scan(step, e, (ca_seq, skip_seq))
+    e, _ = lax.scan(step, e, xs)
 
     # water-layer surface boundary (surfdisp96.f:850-869)
-    cosp_w, w_w, _, _ = _var_quantities(ra[0] * d[0], ra[0], wvno, xka[0],
-                                        d[0])
+    ra0 = _vertical_wavenumber(wvno, omega / a[0])
+    cosp_w, w_w, _, _ = _var_quantities(ra0 * d[0], ra0, wvno,
+                                        omega / a[0], d[0])
     w0 = -rho[0] * w_w
-    return jnp.where(water, cosp_w * e[0] + w0 * e[1], e[0])
+    return jnp.where(water, cosp_w * e[..., 0] + w0 * e[..., 1],
+                     e[..., 0])
 
 
 def dltar1(wvno, omega, d, a, b, rho, water):
     """Love-wave period (secular) equation.
 
     Port of ``dltar1`` (surfdisp96.f:710-769): 2-vector Haskell
-    recursion from the halfspace up, with per-layer renormalization.
-    A surface water layer is skipped (llw=2 semantics).
+    recursion from the halfspace up, with per-layer renormalization,
+    candidate-parallel over the shape of ``wvno``.  A surface water
+    layer is skipped (llw=2 semantics).
     """
-    xkb = omega / b
-    rb = _vertical_wavenumber(wvno, xkb)
-    e1 = rho[-1] * rb[-1]
-    e2 = 1.0 / (b[-1] * b[-1])
-
-    xmu = rho * b * b
-    q = d * rb
-    cosq, y, z, _ = _var_quantities(q, rb, wvno, xkb, d)
-    # sign convention of dltar1: z = -rb*sinq (propagating) / +rb*sinq
-    # (evanescent) — identical to the shared helper.
+    wvno, omega = jnp.broadcast_arrays(wvno, omega)
+    rb_hs = _vertical_wavenumber(wvno, omega / b[-1])
+    e1 = (rho[-1] * rb_hs).astype(wvno.dtype)
+    e2 = jnp.broadcast_to(
+        jnp.asarray(1.0 / (b[-1] * b[-1]), wvno.dtype), wvno.shape)
 
     nl = d.shape[-1]
+    order = jnp.arange(nl - 2, -1, -1)
+    xs = (d[order], b[order], rho[order], water & (order == 0))
 
-    def step(carry, inputs):
+    def step(carry, layer):
         e1c, e2c = carry
-        cosq_m, y_m, z_m, xmu_m, skip = inputs
-        e10 = e1c * cosq_m + e2c * xmu_m * z_m
-        e20 = e1c * y_m / xmu_m + e2c * cosq_m
+        d_l, b_l, rho_l, skip = layer
+        xkb = omega / b_l
+        rb = _vertical_wavenumber(wvno, xkb)
+        xmu = rho_l * b_l * b_l
+        cosq, y, z, _ = _var_quantities(rb * d_l, rb, wvno, xkb, d_l)
+        e10 = e1c * cosq + e2c * xmu * z
+        e20 = e1c * y / xmu + e2c * cosq
         nrm = jnp.maximum(jnp.abs(e10), jnp.abs(e20))
         nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
         e1n = jnp.where(skip, e1c, e10 / nrm)
         e2n = jnp.where(skip, e2c, e20 / nrm)
         return (e1n, e2n), None
 
-    order = jnp.arange(nl - 2, -1, -1)
-    skip_seq = water & (order == 0)
-    (e1, e2), _ = lax.scan(
-        step, (e1, e2),
-        (cosq[order], y[order], z[order], xmu[order], skip_seq))
+    (e1, e2), _ = lax.scan(step, (e1, e2), xs)
     return e1
-
-
-def _dltar(wvno, omega, d, a, b, rho, water, iwave):
-    if iwave == 1:
-        return dltar1(wvno, omega, d, a, b, rho, water)
-    return dltar4(wvno, omega, d, a, b, rho, water)
 
 
 # --------------------------------------------------------------------------
@@ -296,7 +297,6 @@ def sphere_flatten(d, a, b, rho, iwave):
     reference (surfdisp96.f:519).  Zero-thickness padded slots keep
     zero thickness.
     """
-    nl = d.shape[-1]
     d_eff = d.at[-1].set(1.0)
     zb = jnp.cumsum(d_eff)            # bottom depth of each layer
     zt = zb - d_eff                   # top depth
@@ -315,66 +315,84 @@ def sphere_flatten(d, a, b, rho, iwave):
 
 
 # --------------------------------------------------------------------------
-# root bracketing + refinement
+# period-parallel root search
 # --------------------------------------------------------------------------
 
-def _getsol(t1, c1, clow, del1st, ifirst, cm, betmx, secular,
-            max_bracket, nbisect, dtype):
-    """Bracket the dispersion root and refine it (surfdisp96.f:390-482).
+def _find_brackets(omega, cm, betmx, secular, mode, K, nblocks, dtype):
+    """Locate the ``mode``-th sign change of ``secular`` in c for every
+    period simultaneously.
 
-    ``secular(wvno, omega)`` evaluates the period equation.  Returns
-    (c_root, success, del1st).  The Neville refinement of the reference
-    is replaced by fixed-count bisection: only the sign of the secular
-    function is used, which is invariant under the renormalized
-    recursion, and the fixed iteration count maps cleanly onto XLA.
+    Walks blocks of K grid points (step DDC) upward from ``cm`` —
+    the reference's guaranteed lower bound for the fundamental
+    (surfdisp96.f:140-217) — counting sign changes; the m-th change
+    brackets the m-th mode.  Returns (lo, found): bracket lower edges
+    (width DDC) and success flags, both shaped like ``omega``.
     """
+    P = omega.shape
     dc = jnp.asarray(DDC, dtype)
-    omega = TWOPI / t1
+    koff = (jnp.arange(1, K + 1, dtype=dtype)) * dc  # (K,)
 
-    del1 = secular(omega / c1, omega)
-    del1st = jnp.where(ifirst, del1, del1st)
-    plmn = jnp.sign(del1st) * jnp.sign(del1)
-    idir = jnp.where(ifirst | (plmn >= 0.0), 1.0, -1.0).astype(dtype)
+    sign0 = secular(omega / cm, omega) > 0           # (P,)
 
-    def cond(state):
-        c1_, del1_, idir_, c2_, del2_, done, fail, k = state
-        return jnp.logical_not(done | fail)
+    def cond(st):
+        j, _, _, found, _ = st
+        base = cm + (j * K) * dc
+        dead = base > betmx + dc
+        return (j < nblocks) & jnp.logical_not(jnp.all(found | dead))
 
-    def body(state):
-        c1_, del1_, idir_, c2_, del2_, done, fail, k = state
-        c2n = c1_ + idir_ * dc
-        reset = c2n <= clow
-        c1n = jnp.where(reset, clow, c1_)
-        idirn = jnp.where(reset, 1.0, idir_)
-        c2n = jnp.where(reset, c1n + dc, c2n)
-        del2n = secular(omega / c2n, omega)
-        bracket = jnp.sign(del1_) != jnp.sign(del2n)
-        failn = (~bracket) & ((c2n < cm) | (c2n >= betmx + dc)
-                              | (k >= max_bracket))
-        c1n2 = jnp.where(bracket, c1n, c2n)
-        del1n = jnp.where(bracket, del1_, del2n)
-        return (c1n2, del1n, idirn, c2n, del2n, bracket, failn, k + 1)
+    def body(st):
+        j, prev_sign, cnt, found, lo = st
+        base = cm + (j * K) * dc
+        c = base + koff                               # (K,)
+        valid = c <= betmx + dc                       # (K,)
+        sg = secular(omega[..., None] / c, omega[..., None]) > 0
+        allsg = jnp.concatenate([prev_sign[..., None], sg], axis=-1)
+        flips = (allsg[..., 1:] != allsg[..., :-1]) & valid
+        cum = cnt[..., None] + jnp.cumsum(flips, axis=-1,
+                                          dtype=jnp.int32)
+        hit = (cum == mode) & flips                   # (P, K)
+        has_hit = jnp.any(hit, axis=-1)
+        idx = jnp.argmax(hit, axis=-1)                # first hit
+        lo_new = base + idx * dc                      # c[idx] - dc
+        newly = has_hit & jnp.logical_not(found)
+        lo = jnp.where(newly, lo_new, lo)
+        found = found | newly
+        cnt = cum[..., -1]
+        return (j + 1, sg[..., -1], cnt, found, lo)
 
-    state0 = (c1, del1, idir, c1, del1,
-              jnp.asarray(False), jnp.asarray(False), jnp.asarray(0))
-    c1b, del1b, _, c2b, del2b, found, fail, _ = lax.while_loop(
-        cond, body, state0)
+    st0 = (jnp.asarray(0), sign0, jnp.zeros(P, jnp.int32),
+           jnp.zeros(P, bool), jnp.full(P, cm, dtype))
+    _, _, _, found, lo = lax.while_loop(cond, body, st0)
+    return lo, found
 
-    # bisection refinement within [c1b, c2b]
-    def bis(i, st):
-        lo, dlo, hi = st
-        mid = 0.5 * (lo + hi)
-        dmid = secular(omega / mid, omega)
-        same = jnp.sign(dmid) == jnp.sign(dlo)
-        lo_n = jnp.where(same, mid, lo)
-        dlo_n = jnp.where(same, dmid, dlo)
-        hi_n = jnp.where(same, hi, mid)
-        return (lo_n, dlo_n, hi_n)
 
-    lo, _, hi = lax.fori_loop(0, nbisect, bis, (c1b, del1b, c2b))
-    cn = 0.5 * (lo + hi)
-    success = found & (cn <= betmx)
-    return cn, success, del1st
+def _ksection_refine(omega, lo, secular, KR, niter, dtype):
+    """Narrow a (lo, lo+DDC) bracket by (KR+1)^niter via simultaneous
+    evaluation of KR interior points per iteration (the wide-vector
+    replacement of the reference's ``nevill`` serial refinement)."""
+    dc = jnp.asarray(DDC, dtype)
+    hi = lo + dc
+    s_lo = secular(omega / lo, omega) > 0
+    fracs = jnp.arange(1, KR + 1, dtype=dtype) / (KR + 1)  # (KR,)
+
+    def body(_, st):
+        lo_c, hi_c, s_lo_c = st
+        pts = lo_c[..., None] + (hi_c - lo_c)[..., None] * fracs
+        sg = secular(omega[..., None] / pts, omega[..., None]) > 0
+        diff = sg != s_lo_c[..., None]                # (P, KR)
+        ones = jnp.ones(diff.shape[:-1] + (1,), bool)
+        diffx = jnp.concatenate([diff, ones], axis=-1)
+        idx = jnp.argmax(diffx, axis=-1)              # first flip
+        pts_x = jnp.concatenate([pts, hi_c[..., None]], axis=-1)
+        hi_n = jnp.take_along_axis(pts_x, idx[..., None],
+                                   axis=-1)[..., 0]
+        lo_x = jnp.concatenate([lo_c[..., None], pts], axis=-1)
+        lo_n = jnp.take_along_axis(lo_x, idx[..., None],
+                                   axis=-1)[..., 0]
+        return lo_n, hi_n, s_lo_c
+
+    lo, hi, _ = lax.fori_loop(0, niter, body, (lo, hi, s_lo))
+    return 0.5 * (lo + hi)
 
 
 # --------------------------------------------------------------------------
@@ -382,10 +400,10 @@ def _getsol(t1, c1, clow, del1st, ifirst, cm, betmx, secular,
 # --------------------------------------------------------------------------
 
 @partial(jax.jit,
-         static_argnames=('iwave', 'mode', 'igr', 'iflsph', 'nbisect',
-                          'max_bracket'))
+         static_argnames=('iwave', 'mode', 'igr', 'iflsph', 'kblock',
+                          'nblocks', 'krefine', 'nrefine'))
 def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
-             nbisect=None, max_bracket=1200):
+             kblock=64, nblocks=16, krefine=15, nrefine=None):
     """Dispersion curve for one padded layer model.
 
     Arguments mirror the reference entry point
@@ -398,16 +416,21 @@ def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
       igr            : 0 phase velocity, >0 group velocity
       iflsph         : 0 flat earth, 1 spherical (flattening applied)
 
+    Tuning (static): ``kblock`` grid points per bracketing block,
+    ``nblocks`` max blocks (kblock*nblocks*DDC must cover the root
+    range — defaults span 5.1 km/s), ``krefine``/``nrefine`` K-section
+    refinement width/iterations.
+
     Returns ``(cg, err)`` with ``cg`` shape (P,) phase/group velocities
-    (zeros after a failed period, as the reference) and ``err`` True if
-    the fundamental mode failed anywhere (the reference then returns
-    NaN data from the plugin; src/surf96_modsw.py:119-126).
+    (zeros after the first failed period, as the reference) and ``err``
+    True if any period failed (the reference plugin then returns NaN
+    data; src/surf96_modsw.py:119-126).
 
     Batch with ``jax.vmap`` over the leading model axes.
     """
     dtype = h.dtype
-    if nbisect is None:
-        nbisect = 50 if dtype == jnp.float64 else 30
+    if nrefine is None:
+        nrefine = 4 if dtype == jnp.float64 else 3
 
     if iflsph == 1:
         d, a, b, rho_w = sphere_flatten(h, vp, vs, rho, iwave)
@@ -416,7 +439,7 @@ def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
 
     water = b[0] <= 0.0
 
-    # extremal velocities & starting phase velocity (surfdisp96.f:140-217)
+    # extremal velocities & lower bound cm (surfdisp96.f:140-217)
     solid = b > 0.01
     cand = jnp.where(solid, b, a)
     jmn = jnp.argmin(cand)
@@ -425,91 +448,44 @@ def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
     betmx = jnp.max(b)
 
     cc1 = jnp.where(jsol, gtsolh(a[jmn], b[jmn]), betmn)
-    cc1 = 0.95 * 0.90 * cc1
-    cc = cc1.astype(dtype)
-    cm = cc
-    dc = jnp.asarray(DDC, dtype)
-    onea = jnp.asarray(SONE, dtype)
+    cm = (0.95 * 0.90 * cc1).astype(dtype)
 
-    def secular(wvno, omega):
-        return _dltar(wvno, omega, d, a, b, rho_w, water, iwave)
+    if iwave == 1:
+        def secular(wvno, omega):
+            return dltar1(wvno, omega, d, a, b, rho_w, water)
+    else:
+        def secular(wvno, omega):
+            return dltar4(wvno, omega, d, a, b, rho_w, water)
 
-    nper = periods.shape[0]
-    zero = jnp.zeros((), dtype)
+    t = periods.astype(dtype)
+    if igr > 0:
+        # two phase solves at t/(1±h) (surfdisp96.f:232-239)
+        t1a = t / (1.0 + HGR)
+        t1b = t / (1.0 - HGR)
+        omegas = TWOPI / jnp.concatenate([t1a, t1b])
+    else:
+        omegas = TWOPI / t
 
-    c_prev_mode = jnp.zeros((nper,), dtype)  # c() of previous mode
-    cg_out = jnp.zeros((nper,), dtype)
-    err_out = jnp.asarray(False)
+    lo, found = _find_brackets(omegas, cm, betmx, secular, mode,
+                               kblock, nblocks, dtype)
+    c = _ksection_refine(omegas, lo, secular, krefine, nrefine, dtype)
 
-    prev_mode_failed = jnp.zeros((nper,), bool)  # "ift" of surfdisp96.f:348
+    nper = t.shape[0]
+    if igr > 0:
+        ca, cb = c[:nper], c[nper:]
+        ok = found[:nper] & found[nper:]
+        gvel = ((1.0 / t1a - 1.0 / t1b)
+                / (1.0 / (t1a * ca) - 1.0 / (t1b * cb)))
+        out = gvel
+    else:
+        ok = found
+        out = c
 
-    for iq in range(1, mode + 1):
-        def period_step(carry, inputs):
-            c_pm1, cb_pm1, del1st, failed = carry
-            k, t, c_mode_prev_k, c_mode_prev_0, pm_failed_k = inputs
-            is_first = k == 0
-
-            t1 = jnp.asarray(t, dtype)
-            if igr > 0:
-                t1a = t1 / (1.0 + HGR)
-                t1b = t1 / (1.0 - HGR)
-            else:
-                t1a = t1
-                t1b = t1
-
-            if iq == 1:
-                c1_f = cc
-                clow_f = cc
-                c1_nf = c_pm1 - onea * dc
-                clow_nf = cm
-            else:
-                c1_f = c_mode_prev_0 + ONE * dc
-                clow_f = c1_f
-                clow_nf = c_mode_prev_k + ONE * dc
-                c1_nf = jnp.maximum(c_pm1, clow_nf)
-
-            c1 = jnp.where(is_first, c1_f, c1_nf)
-            clow = jnp.where(is_first, clow_f, clow_nf)
-
-            c_k, ok_a, del1st = _getsol(
-                t1a, c1, clow, del1st, is_first, cm, betmx, secular,
-                max_bracket, nbisect, dtype)
-
-            if igr > 0:
-                clow_b = cb_pm1 + ONE * dc
-                c1_b = c_k - onea * dc
-                cb_k, ok_b, _ = _getsol(
-                    t1b, c1_b, clow_b, del1st, jnp.asarray(False), cm,
-                    betmx, secular, max_bracket, nbisect, dtype)
-                cb_k = jnp.where(ok_b, cb_k, c_k)
-                gvel = ((1.0 / t1a - 1.0 / t1b)
-                        / (1.0 / (t1a * c_k) - 1.0 / (t1b * cb_k)))
-                out_k = gvel
-            else:
-                cb_k = zero
-                out_k = c_k
-
-            failed_n = failed | (~ok_a) | pm_failed_k
-            out_k = jnp.where(failed_n, zero, out_k)
-            c_store = jnp.where(failed_n, c_pm1, c_k)
-            cb_store = jnp.where(failed_n, cb_pm1, cb_k)
-            return ((c_store, cb_store, del1st, failed_n),
-                    (out_k, jnp.where(failed_n, zero, c_k), failed_n))
-
-        ks = jnp.arange(nper)
-        init = (cc, zero, zero, jnp.asarray(False))
-        (_, _, _, any_failed), (cg_m, c_m, failed_seq) = lax.scan(
-            period_step, init,
-            (ks, periods.astype(dtype), c_prev_mode,
-             jnp.broadcast_to(c_prev_mode[0], (nper,)), prev_mode_failed))
-
-        cg_out = cg_m
-        if iq == 1:
-            err_out = any_failed
-        c_prev_mode = c_m
-        prev_mode_failed = failed_seq
-
-    return cg_out, err_out
+    # zero-fill from the first failing period on (surfdisp96.f:313-354)
+    failed_cum = jnp.cumsum(jnp.logical_not(ok)) > 0
+    cg = jnp.where(failed_cum, 0.0, out)
+    err = jnp.any(jnp.logical_not(ok))
+    return cg, err
 
 
 def surfdisp_batch(h, vp, vs, rho, periods, **kwargs):

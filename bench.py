@@ -1,0 +1,93 @@
+"""Headline benchmark: aggregate McMC proposal throughput for the
+tutorial joint SWD+RF inversion at a 1k-chain batch on one chip.
+
+Baseline (BASELINE.md): the reference's multiprocessing CPU run
+achieves ~2,570 proposals/s aggregate (21 chains x 150k iterations in
+20.4 min on an 8-core workstation, tutorial.rst:294-303).  One
+proposal = one forward SWD solve + one forward RF solve + a
+correlated-Gaussian likelihood, identical work per iteration here.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "proposals/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+BASELINE_PROPOSALS_PER_S = 2570.0
+NCHAINS = int(os.environ.get('BENCH_NCHAINS', 1024))
+ITERS = int(os.environ.get('BENCH_ITERS', 2000))
+
+
+def build():
+    from bayhunter_tpu import Targets
+    from bayhunter_tpu.sampler.chain import build_sampler, make_config
+    from bayhunter_tpu.sampler.evaluator import build_evaluator
+
+    fixtures = os.path.join(os.path.dirname(__file__), 'tests',
+                            'fixtures')
+    swd = np.loadtxt(os.path.join(fixtures, 'st3_rdispph.dat'))
+    prf = np.loadtxt(os.path.join(fixtures, 'st3_prf.dat'))
+
+    targets = [Targets.RayleighDispersionPhase(swd[:, 0], swd[:, 1]),
+               Targets.PReceiverFunction(prf[:, 0], prf[:, 1])]
+    joint = Targets.JointTarget(targets=targets)
+
+    # tutorial configuration (reference tutorial/tutorialhunt.py:84-121)
+    priors = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 20),
+              'vpvs': 1.73, 'mohoest': None, 'mantle': None,
+              'swdnoise_corr': 0.0, 'swdnoise_sigma': (1e-5, 0.05),
+              'rfnoise_corr': 0.98, 'rfnoise_sigma': (1e-5, 0.02)}
+    initparams = {'propdist': (0.015, 0.015, 0.015, 0.005, 0.005),
+                  'acceptance': (40, 45), 'thickmin': 0.1,
+                  'lvz': None, 'hvz': None, 'rcond': 1e-5,
+                  'iter_burnin': ITERS, 'iter_main': ITERS}
+    nl = 21
+    cfg = make_config(priors, initparams, ['swd', 'rf'], nl=nl)
+    eval_fn = build_evaluator(joint, priors, initparams, nl)
+    init_fn, _, run_fn, _ = build_sampler(eval_fn, cfg)
+    return init_fn, run_fn
+
+
+def main():
+    init_fn, run_fn = build()
+
+    keys = jax.random.split(jax.random.PRNGKey(0), NCHAINS)
+    states = jax.jit(jax.vmap(init_fn))(keys)
+    jax.block_until_ready(states.logL)
+
+    thin = 250
+    n_snap = max(1, ITERS // thin)
+    runb = jax.jit(jax.vmap(lambda s: run_fn(s, n_snap, thin)[0]))
+
+    # warm-up (compile + first segment)
+    states = runb(states)
+    jax.block_until_ready(states.logL)
+
+    t0 = time.time()
+    states = runb(states)
+    jax.block_until_ready(states.logL)
+    dt = time.time() - t0
+
+    proposals = n_snap * thin * NCHAINS
+    rate = proposals / dt
+    print(json.dumps({
+        'metric': 'joint SWD+RF McMC proposal throughput '
+                  '(%d chains, 1 chip)' % NCHAINS,
+        'value': round(rate, 1),
+        'unit': 'proposals/s',
+        'vs_baseline': round(rate / BASELINE_PROPOSALS_PER_S, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()
