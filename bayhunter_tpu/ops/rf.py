@@ -294,39 +294,76 @@ def _transmission_response(h, vp, vs, rho, qp, qs, slowness, nsamp, fsamp,
     e_diag = jnp.stack([e11, e22], axis=-1)               # (F, NL, 2)
 
     # top-down recursion (greens.cpp:196-224), scanning layers 0..NL-2;
-    # all (F,)-vectors at once.
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=cdtype), (nfreq, 2, 2))
+    # all (F,)-vectors at once.  2x2 complex matrices are carried as
+    # explicit component 4-tuples — tiny (2,2) jnp.matmul/dot ops lower
+    # to MXU-padded dot_generals on TPU, whereas unrolled component
+    # algebra stays elementwise on the VPU.
+    def as4(m):  # (..., 2, 2) -> component tuple
+        return (m[..., 0, 0], m[..., 0, 1], m[..., 1, 0], m[..., 1, 1])
 
-    def bc(m):  # broadcast a static (2,2) interface matrix over freq
-        return jnp.broadcast_to(m, (nfreq, 2, 2))
+    def mul4(A, B):
+        a11, a12, a21, a22 = A
+        b11, b12, b21, b22 = B
+        return (a11 * b11 + a12 * b21, a11 * b12 + a12 * b22,
+                a21 * b11 + a22 * b21, a21 * b12 + a22 * b22)
 
-    # e_m has diagonal form (F, 2): e @ M = diag(e) @ M
-    def diag_mul(e_m, m):
-        return e_m[..., :, None] * m
+    one_f = jnp.ones((nfreq,), cdtype)
+    zero_f = jnp.zeros((nfreq,), cdtype)
+    eye4 = (one_f, zero_f, zero_f, one_f)
 
     def step(carry, xs):
         nb_prev, qc, g = carry
         ru_m, rd_n, tu_n, td_m, e_m, first = xs
-        ru_b, rd_b, tu_b, td_b = bc(ru_m), bc(rd_n), bc(tu_n), bc(td_m)
-        nt = jnp.where(first, ru_b, ru_b + td_b @ nb_prev @ qc)
-        nb = _exe(e_m, nt)
-        q_new = _inv2(eye - rd_b @ nb) @ tu_b
-        eq = diag_mul(e_m, q_new)
-        g_new = jnp.where(first, eq, g @ eq)
+        ru4, rd4 = as4(ru_m), as4(rd_n)
+        tu4, td4 = as4(tu_n), as4(td_m)
+
+        # nt = ru + td @ nb_prev @ qc (first layer: just ru)
+        t11, t12, t21, t22 = mul4(mul4(td4, nb_prev), qc)
+        nt = (jnp.where(first, ru4[0], ru4[0] + t11),
+              jnp.where(first, ru4[1], ru4[1] + t12),
+              jnp.where(first, ru4[2], ru4[2] + t21),
+              jnp.where(first, ru4[3], ru4[3] + t22))
+
+        # nb = e @ nt @ e for diagonal phase e (greens.cpp:829-845)
+        e1, e2 = e_m[..., 0], e_m[..., 1]
+        e12 = e1 * e2
+        nb = (nt[0] * e1 * e1, nt[1] * e12, nt[2] * e12,
+              nt[3] * e2 * e2)
+
+        # q_new = inv(I - rd @ nb) @ tu
+        m11, m12, m21, m22 = mul4(rd4, nb)
+        k11, k12, k21, k22 = 1.0 - m11, -m12, -m21, 1.0 - m22
+        det = k11 * k22 - k12 * k21
+        inv = (k22 / det, -k12 / det, -k21 / det, k11 / det)
+        q_new = mul4(inv, tu4)
+
+        # g_new = g @ (e * q_new) (first layer: e * q_new)
+        eq = (e1 * q_new[0], e1 * q_new[1],
+              e2 * q_new[2], e2 * q_new[3])
+        gq = mul4(g, eq)
+        g_new = (jnp.where(first, eq[0], gq[0]),
+                 jnp.where(first, eq[1], gq[1]),
+                 jnp.where(first, eq[2], gq[2]),
+                 jnp.where(first, eq[3], gq[3]))
         return (nb, q_new, g_new), None
 
     xs = (ru[:-1], rd[1:], tu[1:], td[:-1],
           jnp.moveaxis(e_diag, 1, 0)[:-1],
           jnp.arange(nl - 1) == 0)
-    (_, _, g), _ = lax.scan(step, (eye, eye, eye), xs)
+    (_, _, g), _ = lax.scan(step, (eye4, eye4, eye4), xs)
 
-    t_resp = 2.0 * (hmat @ g)                             # (F, 2, 2)
+    # t_resp = 2 * hmat @ g, then pick the incident-wave column
+    h4 = as4(hmat)
+    t11 = 2.0 * (h4[0] * g[0] + h4[1] * g[2])
+    t12 = 2.0 * (h4[0] * g[1] + h4[1] * g[3])
+    t21 = 2.0 * (h4[2] * g[0] + h4[3] * g[2])
+    t22 = 2.0 * (h4[2] * g[1] + h4[3] * g[3])
     if wave_type == P_WAVE:
-        cr = t_resp[:, 0, 0]
-        cz = t_resp[:, 1, 0]
+        cr = t11
+        cz = t21
     else:  # SV
-        cr = t_resp[:, 0, 1]
-        cz = t_resp[:, 1, 1]
+        cr = t12
+        cz = t22
 
     qq = jnp.exp(ii * (w * t0).astype(cdtype))
     return cz * qq, cr * qq

@@ -100,11 +100,15 @@ def _var_quantities(pq, r, wvno, xk, dpth):
     return cos_, w_, x_, ex
 
 
-def _dnka(wvno2, gam, gammk, rho, a0, cpcq, cpy, cpz, cqw, cqx,
-          xy, xz, wy, wz):
-    """Dunkin's 5x5 compound matrix (surfdisp96.f:1024-1068).
+def _dnka_apply(e, wvno2, gam, gammk, rho, a0, cpcq, cpy, cpz, cqw, cqx,
+                xy, xz, wy, wz):
+    """Apply Dunkin's 5x5 compound matrix to the E row-vector:
+    ``e_new_j = sum_i e_i * ca_ij`` (surfdisp96.f:1024-1068).
 
-    All inputs broadcast to the candidate shape S; returns (S, 5, 5).
+    The matrix is never materialized — the 25 entries (with their
+    symmetry shortcuts) contract against ``e`` (a 5-tuple of
+    candidate-shaped arrays) elementwise, keeping the whole recursion
+    on the VPU instead of MXU-padded tiny dot ops.
     """
     one, two = 1.0, 2.0
     gamm1 = gam - one
@@ -144,12 +148,12 @@ def _dnka(wvno2, gam, gammk, rho, a0, cpcq, cpy, cpz, cqw, cqx,
     ca34 = t * ca23
     ca35 = t * ca13
 
-    row1 = jnp.stack([ca11, ca12, ca13, ca14, ca15], axis=-1)
-    row2 = jnp.stack([ca21, ca22, ca23, ca24, ca25], axis=-1)
-    row3 = jnp.stack([ca31, ca32, ca33, ca34, ca35], axis=-1)
-    row4 = jnp.stack([ca41, ca42, ca43, ca44, ca45], axis=-1)
-    row5 = jnp.stack([ca51, ca52, ca53, ca54, ca55], axis=-1)
-    return jnp.stack([row1, row2, row3, row4, row5], axis=-2)
+    e1, e2, e3, e4, e5 = e
+    return (e1 * ca11 + e2 * ca21 + e3 * ca31 + e4 * ca41 + e5 * ca51,
+            e1 * ca12 + e2 * ca22 + e3 * ca32 + e4 * ca42 + e5 * ca52,
+            e1 * ca13 + e2 * ca23 + e3 * ca33 + e4 * ca43 + e5 * ca53,
+            e1 * ca14 + e2 * ca24 + e3 * ca34 + e4 * ca44 + e5 * ca54,
+            e1 * ca15 + e2 * ca25 + e3 * ca35 + e4 * ca45 + e5 * ca55)
 
 
 def dltar4(wvno, omega, d, a, b, rho, water):
@@ -175,14 +179,12 @@ def dltar4(wvno, omega, d, a, b, rho, water):
     gam_hs = gammk_hs * wvno2
     gamm1_hs = gam_hs - 1.0
     rho_hs = rho[-1]
-    e = jnp.stack([
-        rho_hs * rho_hs * (gamm1_hs * gamm1_hs
-                           - gam_hs * gammk_hs * ra_hs * rb_hs),
-        -rho_hs * ra_hs,
-        rho_hs * (gamm1_hs - gammk_hs * ra_hs * rb_hs),
-        rho_hs * rb_hs,
-        wvno2 - ra_hs * rb_hs,
-    ], axis=-1)  # (S, 5)
+    e = (rho_hs * rho_hs * (gamm1_hs * gamm1_hs
+                            - gam_hs * gammk_hs * ra_hs * rb_hs),
+         (-rho_hs * ra_hs).astype(wvno.dtype),
+         rho_hs * (gamm1_hs - gammk_hs * ra_hs * rb_hs),
+         (rho_hs * rb_hs).astype(wvno.dtype),
+         wvno2 - ra_hs * rb_hs)  # 5-tuple, each shape S
 
     nl = d.shape[-1]
     # propagate from the layer above the halfspace (slot NL-2) up to the
@@ -207,14 +209,16 @@ def dltar4(wvno, omega, d, a, b, rho, water):
         exa = pex + sex
         a0 = jnp.where(exa < 60.0, jnp.exp(-exa), 0.0)
 
-        ca = _dnka(wvno2, gam, gammk, rho_l, a0, cosp * cosq,
-                   cosp * y, cosp * z, cosq * w, cosq * x,
-                   x * y, x * z, w * y, w * z)  # (S, 5, 5)
-        een = jnp.einsum('...i,...ij->...j', ee, ca)
-        een = jnp.where(skip, ee, een)
-        nrm = jnp.max(jnp.abs(een), axis=-1, keepdims=True)
+        een = _dnka_apply(ee, wvno2, gam, gammk, rho_l, a0,
+                          cosp * cosq, cosp * y, cosp * z, cosq * w,
+                          cosq * x, x * y, x * z, w * y, w * z)
+        nrm = jnp.abs(een[0])
+        for comp in een[1:]:
+            nrm = jnp.maximum(nrm, jnp.abs(comp))
         nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
-        return een / nrm, None
+        out = tuple(jnp.where(skip, ec, en / nrm)
+                    for ec, en in zip(ee, een))
+        return out, None
 
     e, _ = lax.scan(step, e, xs)
 
@@ -223,8 +227,7 @@ def dltar4(wvno, omega, d, a, b, rho, water):
     cosp_w, w_w, _, _ = _var_quantities(ra0 * d[0], ra0, wvno,
                                         omega / a[0], d[0])
     w0 = -rho[0] * w_w
-    return jnp.where(water, cosp_w * e[..., 0] + w0 * e[..., 1],
-                     e[..., 0])
+    return jnp.where(water, cosp_w * e[0] + w0 * e[1], e[0])
 
 
 def dltar1(wvno, omega, d, a, b, rho, water):
@@ -318,7 +321,8 @@ def sphere_flatten(d, a, b, rho, iwave):
 # period-parallel root search
 # --------------------------------------------------------------------------
 
-def _find_brackets(omega, cm, betmx, secular, mode, K, nblocks, dtype):
+def _find_brackets(omega, cm, betmx, secular, mode, K, nblocks, dtype,
+                   found0=None, lo0=None):
     """Locate the ``mode``-th sign change of ``secular`` in c for every
     period simultaneously.
 
@@ -327,6 +331,10 @@ def _find_brackets(omega, cm, betmx, secular, mode, K, nblocks, dtype):
     (surfdisp96.f:140-217) — counting sign changes; the m-th change
     brackets the m-th mode.  Returns (lo, found): bracket lower edges
     (width DDC) and success flags, both shaped like ``omega``.
+
+    ``found0``/``lo0`` seed already-bracketed lanes (warm start); when
+    every lane is seeded the while loop exits after one condition
+    check.
     """
     P = omega.shape
     dc = jnp.asarray(DDC, dtype)
@@ -360,9 +368,90 @@ def _find_brackets(omega, cm, betmx, secular, mode, K, nblocks, dtype):
         cnt = cum[..., -1]
         return (j + 1, sg[..., -1], cnt, found, lo)
 
-    st0 = (jnp.asarray(0), sign0, jnp.zeros(P, jnp.int32),
-           jnp.zeros(P, bool), jnp.full(P, cm, dtype))
+    if found0 is None:
+        found0 = jnp.zeros(P, bool)
+        lo0 = jnp.full(P, cm, dtype)
+    st0 = (jnp.asarray(0), sign0, jnp.zeros(P, jnp.int32), found0,
+           jnp.broadcast_to(lo0, P))
     _, _, _, found, lo = lax.while_loop(cond, body, st0)
+    return lo, found
+
+
+def _ring_brackets(omega, c_prev, cm, betmx, secular, K, max_trips,
+                   dtype):
+    """Bracket the sign change NEAREST to a previous solution
+    ``c_prev`` by searching expanding rings of K grid points (step
+    DDC) on each side.
+
+    McMC proposals perturb the model slightly, so the new root almost
+    always lies within the first ring — one vector evaluation replaces
+    the full upward walk.  Lanes that miss keep expanding outward; the
+    search only degenerates to a full-range sweep for pathological
+    moves, and a vmapped batch only pays extra trips when some chain
+    actually needs them (unlike a full-restart fallback, which the
+    whole batch would pay for whenever ANY lane misses — the miss
+    probability of any fixed window approaches 1 as chains x periods
+    grows).
+
+    Tracking the nearest root follows the reference's own warm-start
+    semantics (``getsol`` walks from just below the previous period's
+    root with a direction guard, surfdisp96.f:390-447); for the
+    fundamental mode the nearest sign change IS the fundamental, since
+    no roots exist below it.  Returns (lo, found).
+    """
+    P = omega.shape
+    dc = jnp.asarray(DDC, dtype)
+    ksteps = jnp.arange(1, K + 1, dtype=dtype) * dc   # (K,)
+
+    s0 = secular(omega / c_prev, omega) > 0
+
+    def cond(st):
+        t, _, _, found, dead, _ = st
+        return (t < max_trips) & jnp.logical_not(jnp.all(found | dead))
+
+    def body(st):
+        t, sL, sR, found, dead, lo = st
+        base = (t * K) * dc
+        ptsR = c_prev[..., None] + base + ksteps      # (P, K) ascending
+        ptsL = c_prev[..., None] - base - ksteps      # (P, K) descending
+
+        validR = ptsR <= betmx + dc
+        validL = ptsL >= cm
+        pts = jnp.concatenate([ptsR, ptsL], axis=-1)
+        sg = secular(omega[..., None] / pts, omega[..., None]) > 0
+        sgR, sgL = sg[..., :K], sg[..., K:]
+
+        allR = jnp.concatenate([sR[..., None], sgR], axis=-1)
+        flipR = (allR[..., 1:] != allR[..., :-1]) & validR
+        allL = jnp.concatenate([sL[..., None], sgL], axis=-1)
+        flipL = (allL[..., 1:] != allL[..., :-1]) & validL
+
+        jR = jnp.argmax(flipR, axis=-1)
+        jL = jnp.argmax(flipL, axis=-1)
+        hasR = jnp.any(flipR, axis=-1)
+        hasL = jnp.any(flipL, axis=-1)
+        # bracket lower edges: right flip j -> [pt_j - dc, pt_j];
+        # left flip j -> [pt_j, pt_j + dc]
+        loR = jnp.take_along_axis(ptsR, jR[..., None],
+                                  axis=-1)[..., 0] - dc
+        loL = jnp.take_along_axis(ptsL, jL[..., None], axis=-1)[..., 0]
+        # prefer the nearer side; ties go up (reference walks upward)
+        useL = hasL & (jnp.logical_not(hasR) | (jL < jR))
+        lo_new = jnp.where(useL, loL, loR)
+        newly = (hasR | hasL) & jnp.logical_not(found)
+        lo = jnp.where(newly, lo_new, lo)
+        found = found | newly
+
+        dead = dead | (jnp.logical_not(validR[..., 0])
+                       & jnp.logical_not(validL[..., 0]))
+        # frontier signs advance only while in range
+        sR = jnp.where(validR[..., -1], sgR[..., -1], sR)
+        sL = jnp.where(validL[..., -1], sgL[..., -1], sL)
+        return (t + 1, sL, sR, found, dead, lo)
+
+    st0 = (jnp.asarray(0), s0, s0, jnp.zeros(P, bool),
+           jnp.zeros(P, bool), jnp.full(P, cm, dtype))
+    _, _, _, found, _, lo = lax.while_loop(cond, body, st0)
     return lo, found
 
 
@@ -399,34 +488,17 @@ def _ksection_refine(omega, lo, secular, KR, niter, dtype):
 # public driver
 # --------------------------------------------------------------------------
 
-@partial(jax.jit,
-         static_argnames=('iwave', 'mode', 'igr', 'iflsph', 'kblock',
-                          'nblocks', 'krefine', 'nrefine'))
-def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
-             kblock=64, nblocks=16, krefine=15, nrefine=None):
-    """Dispersion curve for one padded layer model.
+def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
+                   mode=1, igr=0, iflsph=0, kblock=64, nblocks=16,
+                   krefine=15, nrefine=None, warm_halfwidth=16):
+    """Like :func:`surfdisp` but also returns the refined
+    phase-velocity roots for warm-starting a subsequent solve.
 
-    Arguments mirror the reference entry point
-    (surfdisp96.f:55-56 / src/surf96_modsw.py:84-126):
-
-      h, vp, vs, rho : (NL,) padded layer arrays, halfspace last
-      periods        : (P,) periods in s (monotone increasing)
-      iwave          : 1 Love, 2 Rayleigh
-      mode           : 1 fundamental, 2 first higher, ...
-      igr            : 0 phase velocity, >0 group velocity
-      iflsph         : 0 flat earth, 1 spherical (flattening applied)
-
-    Tuning (static): ``kblock`` grid points per bracketing block,
-    ``nblocks`` max blocks (kblock*nblocks*DDC must cover the root
-    range — defaults span 5.1 km/s), ``krefine``/``nrefine`` K-section
-    refinement width/iterations.
-
-    Returns ``(cg, err)`` with ``cg`` shape (P,) phase/group velocities
-    (zeros after the first failed period, as the reference) and ``err``
-    True if any period failed (the reference plugin then returns NaN
-    data; src/surf96_modsw.py:119-126).
-
-    Batch with ``jax.vmap`` over the leading model axes.
+    ``c_prev`` (optional) carries the previous solve's roots — shape
+    (P,) for phase targets and (2P,) for group targets (the two
+    t/(1±h) solves).  Warm lanes bracket in one 2*warm_halfwidth+1
+    point evaluation around ``c_prev``; missed lanes fall back to the
+    full counting search.  Returns ``(cg, err, roots)``.
     """
     dtype = h.dtype
     if nrefine is None:
@@ -466,8 +538,16 @@ def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
     else:
         omegas = TWOPI / t
 
-    lo, found = _find_brackets(omegas, cm, betmx, secular, mode,
-                               kblock, nblocks, dtype)
+    if c_prev is not None:
+        # warm path: expanding ring search around the previous roots
+        cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
+        lo, found = _ring_brackets(omegas, cp, cm, betmx, secular,
+                                   warm_halfwidth,
+                                   max(1, (kblock * nblocks)
+                                       // warm_halfwidth), dtype)
+    else:
+        lo, found = _find_brackets(omegas, cm, betmx, secular, mode,
+                                   kblock, nblocks, dtype)
     c = _ksection_refine(omegas, lo, secular, krefine, nrefine, dtype)
 
     nper = t.shape[0]
@@ -485,6 +565,42 @@ def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
     failed_cum = jnp.cumsum(jnp.logical_not(ok)) > 0
     cg = jnp.where(failed_cum, 0.0, out)
     err = jnp.any(jnp.logical_not(ok))
+    return cg, err, c
+
+
+@partial(jax.jit,
+         static_argnames=('iwave', 'mode', 'igr', 'iflsph', 'kblock',
+                          'nblocks', 'krefine', 'nrefine'))
+def surfdisp(h, vp, vs, rho, periods, iwave=2, mode=1, igr=0, iflsph=0,
+             kblock=64, nblocks=16, krefine=15, nrefine=None):
+    """Dispersion curve for one padded layer model.
+
+    Arguments mirror the reference entry point
+    (surfdisp96.f:55-56 / src/surf96_modsw.py:84-126):
+
+      h, vp, vs, rho : (NL,) padded layer arrays, halfspace last
+      periods        : (P,) periods in s (monotone increasing)
+      iwave          : 1 Love, 2 Rayleigh
+      mode           : 1 fundamental, 2 first higher, ...
+      igr            : 0 phase velocity, >0 group velocity
+      iflsph         : 0 flat earth, 1 spherical (flattening applied)
+
+    Tuning (static): ``kblock`` grid points per bracketing block,
+    ``nblocks`` max blocks (kblock*nblocks*DDC must cover the root
+    range — defaults span 5.1 km/s), ``krefine``/``nrefine`` K-section
+    refinement width/iterations.
+
+    Returns ``(cg, err)`` with ``cg`` shape (P,) phase/group velocities
+    (zeros after the first failed period, as the reference) and ``err``
+    True if any period failed (the reference plugin then returns NaN
+    data; src/surf96_modsw.py:119-126).
+
+    Batch with ``jax.vmap`` over the leading model axes.
+    """
+    cg, err, _ = surfdisp_roots(
+        h, vp, vs, rho, periods, c_prev=None, iwave=iwave, mode=mode,
+        igr=igr, iflsph=iflsph, kblock=kblock, nblocks=nblocks,
+        krefine=krefine, nrefine=nrefine)
     return cg, err
 
 

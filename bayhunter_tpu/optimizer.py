@@ -74,8 +74,12 @@ class MCMC_Optimizer(object):
         self.eval_fn = build_evaluator(targets, self.priors,
                                        self.initparams, self.maxlayers,
                                        dtype=dtype)
+        self.sampler = build_sampler(self.eval_fn, self.cfg)
         (self.init_fn, self.iterate_fn, self.run_fn,
-         self.snapshot_fn) = build_sampler(self.eval_fn, self.cfg)
+         self.snapshot_fn) = (self.sampler.init_fn,
+                              self.sampler.iterate_fn,
+                              self.sampler.run_fn,
+                              self.sampler.snapshot_fn)
 
         # device mesh over the chain axis
         self.devices = devices if devices is not None else jax.devices()
@@ -92,18 +96,15 @@ class MCMC_Optimizer(object):
         logger.info('> %d chain(s) are initiated on %d device(s)...'
                     % (self.nchains, ndev))
 
-        self._run_batch = jax.jit(
-            jax.vmap(lambda s, ns, th: self.run_fn(s, ns, th),
-                     in_axes=(0, None, None)),
-            static_argnums=(1, 2))
+        # run_fn is already batched (iterations outer scan, chains
+        # inner vmap) and jitted with static (n_snap, thin)
+        self._run_batch = self.run_fn
 
     # ------------------------------------------------------------------
 
     def _init_states(self):
-        keys = jax.random.split(jax.random.PRNGKey(self.seed),
-                                self.nchains_padded)
-        init_batch = jax.jit(jax.vmap(self.init_fn))
-        states = init_batch(keys)
+        states = self.sampler.init_states_host(self.seed,
+                                               self.nchains_padded)
         return jax.device_put(states, self.sharding)
 
     def _phase_plan(self, niter):
@@ -117,42 +118,83 @@ class MCMC_Optimizer(object):
         rem = niter - n_snap * thin
         return thin, n_snap, rem
 
+    def _snapshot_host(self, states):
+        """Record the current per-chain state in the reference's save
+        layout (src/SingleChain.py:665-690) — cheap host pull of the
+        small state arrays."""
+        vs, z, n, logL, misfits, noise, vpvs = jax.device_get(
+            (states.vs, states.z, states.n, states.logL,
+             states.misfits, states.noise, states.vpvs))
+        nl = vs.shape[-1]
+        mask = np.arange(nl)[None, :] < n[:, None]
+        vs_p = np.where(mask, vs, np.nan)
+        z_p = np.where(mask, z, np.nan)
+        return dict(model=np.concatenate([vs_p, z_p], axis=1),
+                    logL=logL, misfits=misfits, noise=noise, vpvs=vpvs)
+
     def _run_phase(self, states, niter, label, baywatch_pub=None,
                    dtsend=0.5, t0=None):
-        """Run one phase in segments; returns (states, snapshots dict
-        of stacked host arrays (chains, n_snap, ...))."""
+        """Run one phase in fixed-size device segments with host-side
+        snapshot collection every ``thin`` iterations; returns
+        (states, snapshots dict of stacked (chains, n_snap, ...)
+        arrays).
+
+        Segment size is calibrated ONCE (a second compile at most) to
+        ``segment_seconds`` per device call — long calls trip remote-
+        TPU watchdogs, short ones waste dispatch."""
         thin, n_snap, rem = self._phase_plan(niter)
         if n_snap == 0:
             return states, None
+        total = n_snap * thin + rem
 
-        # segment so that each jitted call covers >= ~5000 iterations
-        snaps_per_seg = max(1, min(n_snap, int(np.ceil(5000 / thin))))
+        target_s = float(self.initparams.get('segment_seconds', 5.0))
+        seg = int(min(50, total))
         parts = []
-        done = 0
+        it_done = 0
+        next_snap = thin
+        next_log = 0
+        calibrated = False
         last_send = 0.0
-        while done < n_snap:
-            k = min(snaps_per_seg, n_snap - done)
-            states, snaps = self._run_batch(states, k, thin)
-            parts.append(jax.device_get(snaps))
-            done += k
+        while it_done < total:
+            step = min(seg, total - it_done)
+            t_seg = time.time()
+            states, _ = self._run_batch(states, 1, step)
+            jax.block_until_ready(states.logL)
+            dt_seg = time.time() - t_seg
+            it_done += step
 
-            logL = np.asarray(parts[-1]['logL'])[:self.nchains, -1]
-            misf = np.asarray(parts[-1]['misfits'])[:self.nchains, -1, -1]
-            runtime = time.time() - (t0 or time.time())
-            logger.info(
-                '%s %7d/%d it | logL med %9.1f | joint misfit med '
-                '%8.3f | %6.1f s' % (label, done * thin, niter,
-                                     float(np.median(logL)),
-                                     float(np.median(misf)), runtime))
+            if not calibrated and step == seg:
+                calibrated = True
+                seg_new = int(np.clip(seg * target_s / max(dt_seg, 1e-3),
+                                      1, 2000))
+                if seg_new > 2 * seg or seg_new < seg // 2:
+                    seg = seg_new
+
+            while it_done >= next_snap and len(parts) < n_snap:
+                parts.append(self._snapshot_host(states))
+                next_snap += thin
+
+            if it_done >= next_log or it_done >= total:
+                next_log += max(thin * 10, 5000)
+                snap = parts[-1] if parts else self._snapshot_host(states)
+                logL = snap['logL'][:self.nchains]
+                misf = snap['misfits'][:self.nchains, -1]
+                runtime = time.time() - (t0 or time.time())
+                logger.info(
+                    '%s %7d/%d it | logL med %9.1f | joint misfit med '
+                    '%8.3f | %6.1f s' % (label, it_done, total,
+                                         float(np.median(logL)),
+                                         float(np.median(misf)),
+                                         runtime))
             if baywatch_pub is not None \
                     and time.time() - last_send > dtsend:
-                self._publish(baywatch_pub, parts[-1])
+                self._publish(baywatch_pub,
+                              parts[-1] if parts
+                              else self._snapshot_host(states))
                 last_send = time.time()
 
-        if rem > 0:
-            states, _ = self._run_batch(states, 1, rem)
-
-        snapshots = {k: np.concatenate([p[k] for p in parts], axis=1)
+        # stack snapshots to (chains, n_snap, ...)
+        snapshots = {k: np.stack([p[k] for p in parts], axis=1)
                      for k in parts[0]}
         return states, snapshots
 
@@ -161,10 +203,10 @@ class MCMC_Optimizer(object):
         (reference: src/mcmcOptimizer.py:140-200): three arrays —
         [vpvs | model], likes, noise."""
         C = self.nchains
-        models = np.asarray(snaps['model'])[:C, -1, :].astype(np.float32)
-        vpvs = np.asarray(snaps['vpvs'])[:C, -1:].astype(np.float32)
-        likes = np.asarray(snaps['logL'])[:C, -1:].astype(np.float32)
-        noise = np.asarray(snaps['noise'])[:C, -1, :].astype(np.float32)
+        models = np.asarray(snaps['model'])[:C, :].astype(np.float32)
+        vpvs = np.asarray(snaps['vpvs'])[:C, None].astype(np.float32)
+        likes = np.asarray(snaps['logL'])[:C, None].astype(np.float32)
+        noise = np.asarray(snaps['noise'])[:C, :].astype(np.float32)
         socket.send_array(np.concatenate((vpvs, models), axis=1))
         socket.send_array(likes)
         socket.send_array(noise)

@@ -58,6 +58,26 @@ class ChainState(typing.NamedTuple):
     accepted: jax.Array     # (5,) int32
     proposed: jax.Array     # (5,) int32
     iiter: jax.Array        # () int32 — negative during burn-in
+    cache: typing.Any = ()  # per-target (y_synth, swd roots) forward
+    #                         cache of the CURRENT model (evaluator.py)
+
+
+class Sampler(typing.NamedTuple):
+    """Bundle returned by :func:`build_sampler`.
+
+    Unpacks as ``init_fn, iterate_fn, run_fn, snapshot_fn`` for
+    backward compatibility; ``init_states_host`` is the preferred
+    batch initializer (host-side rejection sampling + one device
+    evaluation)."""
+    init_fn: typing.Callable
+    iterate_fn: typing.Callable
+    run_fn: typing.Callable
+    snapshot_fn: typing.Callable
+    init_states_host: typing.Callable = None
+
+    def __iter__(self):  # 4-tuple unpacking compatibility
+        return iter((self.init_fn, self.iterate_fn, self.run_fn,
+                     self.snapshot_fn))
 
 
 class SamplerConfig(typing.NamedTuple):
@@ -268,15 +288,18 @@ def build_sampler(eval_fn, cfg):
 
     # ------------------------------------------------------------------
     # one Metropolis-Hastings iteration (src/SingleChain.py:511-589)
+    #
+    # ``move_id`` is a SCALAR shared by the whole chain batch for this
+    # iteration (drawn once per iteration in run_fn).  Each chain's
+    # marginal transition kernel is the same uniform mixture over move
+    # types as the reference's per-chain draw, but a scalar move id
+    # keeps lax.switch/lax.cond as real runtime branches under vmap —
+    # in particular, noise moves skip the forward solvers entirely and
+    # re-score the cached synthetics.
     # ------------------------------------------------------------------
 
-    def iterate(state, _=None):
-        key, k_sel, k1, k2, k_u = random.split(state.key, 5)
-
-        early = state.iiter < early_cutoff
-        pick_e = random.randint(k_sel, (), 0, len(early_moves))
-        pick_l = random.randint(k_sel, (), 0, len(late_moves))
-        move_id = jnp.where(early, early_arr[pick_e], late_arr[pick_l])
+    def iterate(state, move_id):
+        key, k1, k2, k_u = random.split(state.key, 4)
 
         vs_p, z_p, n_p, noise_p, vpvs_p, dvs2 = lax.switch(
             move_id, branches, state, k1, k2)
@@ -295,7 +318,16 @@ def build_sampler(eval_fn, cfg):
                                     _valid_noise(noise_p),
                                     _valid_vpvs(vpvs_p)))
 
-        logL_p, misfits_p, _ = eval_fn(vs_p, z_p, n_p, vpvs_p, noise_p)
+        def fwd_full(_):
+            return eval_fn.eval_full(vs_p, z_p, n_p, vpvs_p, noise_p,
+                                     state.cache)
+
+        def fwd_noise(_):
+            logL_n, fvalid_n = eval_fn.eval_noise(noise_p, state.cache)
+            return logL_n, state.misfits, fvalid_n, state.cache
+
+        logL_p, misfits_p, fvalid, cache_p = lax.cond(
+            move_id == MOVE_NOISE, fwd_noise, fwd_full, None)
 
         # acceptance probability (src/SingleChain.py:452-487)
         theta = state.propdist[2]
@@ -308,7 +340,7 @@ def build_sampler(eval_fn, cfg):
                           alpha - log_a_birth - b_term, alpha)
 
         u = jnp.log(random.uniform(k_u, dtype=dtype))
-        accept = (u < alpha) & valid
+        accept = (u < alpha) & valid & fvalid
 
         def sel(new, old):
             return jnp.where(accept, new, old)
@@ -341,7 +373,8 @@ def build_sampler(eval_fn, cfg):
             propdist=propdist,
             accepted=accepted,
             proposed=proposed,
-            iiter=state.iiter + 1)
+            iiter=state.iiter + 1,
+            cache=jax.tree_util.tree_map(sel, cache_p, state.cache))
         return new_state, None
 
     # ------------------------------------------------------------------
@@ -411,8 +444,8 @@ def build_sampler(eval_fn, cfg):
                                                  p[0], p[1]))
         noise0 = jnp.stack(noise_vals)
 
-        logL0, misfits0, _ = eval_fn(vs0, z0, jnp.asarray(n_init), vpvs,
-                                     noise0)
+        logL0, misfits0, _, cache0 = eval_fn.eval_cold(
+            vs0, z0, jnp.asarray(n_init), vpvs, noise0)
         return ChainState(
             key=k_state, vs=vs0, z=z0,
             n=jnp.asarray(n_init, jnp.int32),
@@ -420,11 +453,125 @@ def build_sampler(eval_fn, cfg):
             propdist=jnp.asarray(cfg.propdist, dtype),
             accepted=jnp.zeros(5, jnp.int32),
             proposed=jnp.zeros(5, jnp.int32),
-            iiter=jnp.asarray(-cfg.iter_burnin, jnp.int32))
+            iiter=jnp.asarray(-cfg.iter_burnin, jnp.int32),
+            cache=cache0)
 
     # ------------------------------------------------------------------
-    # runners
+    # host-side batch init — numpy rejection sampling like the
+    # reference (src/SingleChain.py:94-157), then ONE batched device
+    # evaluation.  Avoids compiling a redraw while_loop around the
+    # full forward solvers.
     # ------------------------------------------------------------------
+
+    def _valid_host(vs_d, z_d):
+        """Vectorized host validity of (m, n_init) initial draws:
+        thickness & velocity-zone checks (priors hold by construction).
+        """
+        z_next = np.concatenate([z_d[:, 1:], z_d[:, -1:]], axis=1)
+        z_disc = 0.5 * (z_d + z_next)
+        h = np.diff(np.concatenate(
+            [np.zeros((z_d.shape[0], 1)), z_disc], axis=1), axis=1)
+        ok = np.all(h[:, :n_init - 1] >= cfg.thickmin, axis=1)
+        dvs = vs_d[:, 1:]
+        vs0 = vs_d[:, :-1]
+        if cfg.lvz is not None:
+            ok &= np.all(dvs > vs0 * (1.0 - cfg.lvz), axis=1)
+        if cfg.hvz is not None:
+            ok &= np.all(dvs < vs0 * (1.0 + cfg.hvz), axis=1)
+        return ok
+
+    def init_states_host(seed, nchains, eval_batch=None):
+        """Draw ``nchains`` valid initial states with numpy; evaluate
+        logL in one batched device call.  ``eval_batch`` defaults to
+        ``jax.jit(jax.vmap(eval_fn))``."""
+        rs = np.random.RandomState(seed)
+        vs_h = np.empty((nchains, n_init))
+        z_h = np.empty((nchains, n_init))
+        pending = np.arange(nchains)
+        for _ in range(1000):
+            if pending.size == 0:
+                break
+            m = pending.size
+            vs_d = np.sort(rs.uniform(vsmin, vsmax, (m, n_init)),
+                           axis=1)
+            if cfg.mohoest is not None and n_init > 1:
+                mean, std = cfg.mohoest
+                moho = rs.normal(mean, std, (m, 1))
+                tmp_z = rs.uniform(1.0, np.minimum(5.0, moho), (m, 1))
+                z_d = rs.uniform(zmin, zmax, (m, n_init))
+                z_d[:, :1] = moho - tmp_z
+                z_d[:, 1:2] = moho + tmp_z
+                z_d = np.sort(z_d, axis=1)
+            else:
+                z_d = np.sort(rs.uniform(zmin, zmax, (m, n_init)),
+                              axis=1)
+            ok = _valid_host(vs_d, z_d)
+            took = pending[ok]
+            vs_h[took] = vs_d[ok]
+            z_h[took] = z_d[ok]
+            pending = pending[~ok]
+        if pending.size:
+            raise RuntimeError('could not draw valid initial models '
+                               'under the given priors')
+
+        if cfg.vpvs_inverted:
+            lo, hi = cfg.vpvs_prior
+            vpvs_h = rs.uniform(lo, hi, nchains)
+        else:
+            vpvs_h = np.full(nchains, float(cfg.vpvs_prior))
+
+        noise_h = np.empty((nchains, max(n_noise, 1)))
+        for i, p in enumerate(cfg.noise_priors):
+            if isinstance(p, (int, float)):
+                noise_h[:, i] = p
+            else:
+                noise_h[:, i] = rs.uniform(p[0], p[1], nchains)
+
+        vs_full = np.concatenate(
+            [vs_h, np.repeat(vs_h[:, -1:], nl - n_init, axis=1)],
+            axis=1)
+        z_full = np.concatenate(
+            [z_h, np.full((nchains, nl - n_init), 2.0 * zmax)], axis=1)
+
+        vs_j = jnp.asarray(vs_full, dtype)
+        z_j = jnp.asarray(z_full, dtype)
+        n_j = jnp.full((nchains,), n_init, jnp.int32)
+        vpvs_j = jnp.asarray(vpvs_h, dtype)
+        noise_j = jnp.asarray(noise_h, dtype)
+        if eval_batch is None:
+            eval_batch = jax.jit(jax.vmap(eval_fn.eval_cold))
+        logL_j, misfits_j, _, cache_j = eval_batch(vs_j, z_j, n_j,
+                                                   vpvs_j, noise_j)
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(rs.randint(2 ** 31))), nchains)
+        return ChainState(
+            key=keys, vs=vs_j, z=z_j, n=n_j, vpvs=vpvs_j,
+            noise=noise_j, logL=logL_j, misfits=misfits_j,
+            propdist=jnp.broadcast_to(jnp.asarray(cfg.propdist, dtype),
+                                      (nchains, 5)),
+            accepted=jnp.zeros((nchains, 5), jnp.int32),
+            proposed=jnp.zeros((nchains, 5), jnp.int32),
+            iiter=jnp.full((nchains,), -cfg.iter_burnin, jnp.int32),
+            cache=cache_j)
+
+    # ------------------------------------------------------------------
+    # runners — iterations are the OUTER scan, chains the inner vmap,
+    # so the per-iteration move id is a scalar (real branches, see
+    # iterate above).
+    # ------------------------------------------------------------------
+
+    schedule_key = random.PRNGKey(20190523)  # move-type schedule
+
+    def _move_for(it):
+        """Scalar move id for global iteration counter ``it`` (counted
+        from -iter_burnin like state.iiter)."""
+        k = random.fold_in(schedule_key, it)
+        early = it < early_cutoff
+        pick_e = random.randint(k, (), 0, len(early_moves))
+        pick_l = random.randint(k, (), 0, len(late_moves))
+        return jnp.where(early, early_arr[pick_e], late_arr[pick_l])
+
+    iterate_batch = jax.vmap(iterate, in_axes=(0, None))
 
     def snapshot_fn(state):
         """Posterior sample record in the reference's save layout
@@ -437,13 +584,20 @@ def build_sampler(eval_fn, cfg):
             vpvs=state.vpvs)
 
     @partial(jax.jit, static_argnames=('n_snap', 'thin'))
-    def run_fn(state, n_snap, thin):
-        """Advance ``n_snap*thin`` iterations, snapshotting every
-        ``thin``; returns (state, stacked snapshots)."""
+    def run_fn(states, n_snap, thin):
+        """Advance a BATCHED state pytree ``n_snap*thin`` iterations,
+        snapshotting every ``thin``.  Returns ``(states, snapshots)``
+        with snapshot arrays shaped (n_snap, nchains, ...)."""
+        def one(st, _):
+            it = st.iiter[0]
+            st2, _ = iterate_batch(st, _move_for(it))
+            return st2, None
+
         def chunk(st, _):
-            st2, _ = lax.scan(iterate, st, None, length=thin)
-            return st2, snapshot_fn(st2)
+            st2, _ = lax.scan(one, st, None, length=thin)
+            return st2, jax.vmap(snapshot_fn)(st2)
 
-        return lax.scan(chunk, state, None, length=n_snap)
+        return lax.scan(chunk, states, None, length=n_snap)
 
-    return init_fn, iterate, run_fn, snapshot_fn
+    return Sampler(init_fn, iterate, run_fn, snapshot_fn,
+                   init_states_host)

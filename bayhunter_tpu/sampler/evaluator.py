@@ -19,16 +19,44 @@ reference's dispatch (reference: src/SingleChain.py:159-205):
 """
 
 import logging
+import typing
 
 import numpy as np
 import jax.numpy as jnp
 
 from bayhunter_tpu.ops import likelihood as lk
 from bayhunter_tpu.ops.rf import synrf, P_WAVE, SV_WAVE
-from bayhunter_tpu.ops.swd import surfdisp
+from bayhunter_tpu.ops.swd import surfdisp_roots
 from bayhunter_tpu.ops.voronoi import voronoi_to_layers
 
 logger = logging.getLogger(__name__)
+
+
+class EvalBundle(typing.NamedTuple):
+    """Joint-target evaluators sharing a forward cache.
+
+    The cache (one per chain) is a tuple over targets of
+    ``(y_synth, roots)`` — the synthetic data of the *current* model
+    and, for SWD targets, the dispersion roots used to warm-start the
+    next solve (``roots`` is a zero-length array for RF targets).
+
+      eval_full(vs, z, n, vpvs, noise, cache)
+          -> (logL, misfits, valid, new_cache)   # warm-started
+      eval_cold(vs, z, n, vpvs, noise)
+          -> (logL, misfits, valid, new_cache)   # full root search
+      eval_noise(noise, cache) -> (logL, valid)  # reuses cached y;
+          misfits are unchanged by noise moves by construction
+    """
+    eval_full: typing.Callable
+    eval_cold: typing.Callable
+    eval_noise: typing.Callable
+    ntargets: int
+    specs: list
+
+    # old 3-output protocol (cold start), for convenience in tests
+    def __call__(self, vs, z, n, vpvs, noise):
+        logL, misfits, valid, _ = self.eval_cold(vs, z, n, vpvs, noise)
+        return logL, misfits, valid
 
 SWD_REFS = {'rdispph': (2, 0), 'ldispph': (1, 0),
             'rdispgr': (2, 1), 'ldispgr': (1, 1)}
@@ -126,64 +154,91 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
 
     ntargets = len(specs)
 
-    def eval_fn(vs, z, n, vpvs, noise):
+    def _loglike(spec, ydiff_safe, corr, sigma):
+        if spec.cov == 'exp':
+            return lk.loglike_exp(ydiff_safe, sigma, corr)
+        if spec.cov == 'nocorr':
+            return lk.loglike_nocorr(ydiff_safe, sigma)
+        if spec.cov == 'nocorr_scalederr':
+            return lk.loglike_nocorr_scalederr(
+                ydiff_safe, sigma, spec.scaled_err,
+                spec.log_scalederr_sum)
+        return lk.loglike_gauss(ydiff_safe, sigma, spec.corr_inv,
+                                spec.logcorr_det)
+
+    def _forward(spec, h, vp, vs_l, rho, c_prev):
+        """One target's synthetic data; returns (y, tvalid, roots)."""
+        if spec.kind == 'swd':
+            cg, err, roots = surfdisp_roots(
+                h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
+                iwave=spec.iwave, igr=spec.igr, mode=spec.mode,
+                iflsph=spec.flsph)
+            if spec.interp_x is not None:
+                y = jnp.interp(spec.interp_x, spec.periods, cg)
+            else:
+                y = cg
+            return y, jnp.logical_not(err), roots
+        # rf
+        qp = jnp.full((nl,), 500.0, dtype)
+        qs = jnp.full((nl,), 225.0, dtype)
+        vpvs0 = vp[0] / vs_l[0]
+        poisson = (2.0 - vpvs0 ** 2) / (2.0 - 2.0 * vpvs0 ** 2)
+        nsv = vs_l[0] if spec.nsv is None else spec.nsv
+        _, _, rf_t = synrf(h, vp, vs_l, rho, qp, qs,
+                           spec.p, spec.gauss_a, spec.nsamp,
+                           spec.fsamp, spec.tshift, nsv,
+                           poisson, wave_type=spec.wave_type)
+        y = rf_t[:spec.ndata]
+        return y, jnp.all(jnp.isfinite(y)), jnp.zeros((0,), dtype)
+
+    def _eval(vs, z, n, vpvs, noise, cache):
         h, vp, vs_l, rho = voronoi_to_layers(vs, z, n, vpvs,
                                              mantle=mantle)
         logL = jnp.zeros((), dtype)
         misfits = []
         valid = jnp.asarray(True)
+        new_cache = []
 
         for i, spec in enumerate(specs):
-            if spec.kind == 'swd':
-                cg, err = surfdisp(h, vp, vs_l, rho, spec.periods,
-                                   iwave=spec.iwave, igr=spec.igr,
-                                   mode=spec.mode, iflsph=spec.flsph)
-                if spec.interp_x is not None:
-                    y = jnp.interp(spec.interp_x, spec.periods, cg)
-                else:
-                    y = cg
-                tvalid = jnp.logical_not(err)
-            else:  # rf
-                qp = jnp.full((nl,), 500.0, dtype)
-                qs = jnp.full((nl,), 225.0, dtype)
-                vpvs0 = vp[0] / vs_l[0]
-                poisson = (2.0 - vpvs0 ** 2) / (2.0 - 2.0 * vpvs0 ** 2)
-                nsv = vs_l[0] if spec.nsv is None else spec.nsv
-                _, _, rf_t = synrf(h, vp, vs_l, rho, qp, qs,
-                                   spec.p, spec.gauss_a, spec.nsamp,
-                                   spec.fsamp, spec.tshift, nsv,
-                                   poisson, wave_type=spec.wave_type)
-                y = rf_t[:spec.ndata]
-                tvalid = jnp.all(jnp.isfinite(y))
+            c_prev = cache[i][1] if cache is not None \
+                and spec.kind == 'swd' else None
+            y, tvalid, roots = _forward(spec, h, vp, vs_l, rho, c_prev)
+            new_cache.append((y, roots))
 
-            ydiff = y - spec.yobs
-            misfits.append(jnp.sqrt(jnp.mean(
-                jnp.where(tvalid, ydiff, 0.0) ** 2)))
-
-            corr = noise[2 * i]
-            sigma = noise[2 * i + 1]
-            ydiff_safe = jnp.where(tvalid, ydiff, 0.0)
-            if spec.cov == 'exp':
-                logL_i = lk.loglike_exp(ydiff_safe, sigma, corr)
-            elif spec.cov == 'nocorr':
-                logL_i = lk.loglike_nocorr(ydiff_safe, sigma)
-            elif spec.cov == 'nocorr_scalederr':
-                logL_i = lk.loglike_nocorr_scalederr(
-                    ydiff_safe, sigma, spec.scaled_err,
-                    spec.log_scalederr_sum)
-            else:  # gauss
-                logL_i = lk.loglike_gauss(ydiff_safe, sigma,
-                                          spec.corr_inv,
-                                          spec.logcorr_det)
-            logL = logL + logL_i
+            ydiff = jnp.where(tvalid, y - spec.yobs, 0.0)
+            misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2)))
+            logL = logL + _loglike(spec, ydiff, noise[2 * i],
+                                   noise[2 * i + 1])
             valid = valid & tvalid
 
         valid = valid & jnp.isfinite(logL)
         misfits = jnp.stack(misfits + [sum(misfits)])
         logL = jnp.where(valid, logL, LOGL_SENTINEL)
         misfits = jnp.where(valid, misfits, MISFIT_SENTINEL)
-        return logL, misfits.astype(dtype), valid
+        return logL, misfits.astype(dtype), valid, tuple(new_cache)
 
-    eval_fn.ntargets = ntargets
-    eval_fn.specs = specs
-    return eval_fn
+    def eval_full(vs, z, n, vpvs, noise, cache):
+        return _eval(vs, z, n, vpvs, noise, cache)
+
+    def eval_cold(vs, z, n, vpvs, noise):
+        return _eval(vs, z, n, vpvs, noise, None)
+
+    def eval_noise(noise, cache):
+        """Likelihood under new noise hyperparameters with the cached
+        synthetic data (the model is unchanged by a noise move, so the
+        forward solves and misfits are reusable)."""
+        logL = jnp.zeros((), dtype)
+        valid = jnp.asarray(True)
+        for i, spec in enumerate(specs):
+            y = cache[i][0]
+            tvalid = jnp.all(jnp.isfinite(y))
+            ydiff = jnp.where(tvalid, y - spec.yobs, 0.0)
+            logL = logL + _loglike(spec, ydiff, noise[2 * i],
+                                   noise[2 * i + 1])
+            valid = valid & tvalid
+        valid = valid & jnp.isfinite(logL)
+        logL = jnp.where(valid, logL, LOGL_SENTINEL)
+        return logL, valid
+
+    return EvalBundle(eval_full, eval_cold, eval_noise, ntargets,
+                      specs)

@@ -54,31 +54,36 @@ def build():
     nl = 21
     cfg = make_config(priors, initparams, ['swd', 'rf'], nl=nl)
     eval_fn = build_evaluator(joint, priors, initparams, nl)
-    init_fn, _, run_fn, _ = build_sampler(eval_fn, cfg)
-    return init_fn, run_fn
+    return build_sampler(eval_fn, cfg)
 
 
 def main():
-    init_fn, run_fn = build()
+    sampler = build()
+    run_fn = sampler.run_fn
 
-    keys = jax.random.split(jax.random.PRNGKey(0), NCHAINS)
-    states = jax.jit(jax.vmap(init_fn))(keys)
+    states = sampler.init_states_host(0, NCHAINS)
     jax.block_until_ready(states.logL)
 
-    thin = 250
-    n_snap = max(1, ITERS // thin)
-    runb = jax.jit(jax.vmap(lambda s: run_fn(s, n_snap, thin)[0]))
+    # short device calls (the axon tunnel kills long-running programs);
+    # one compile, host loop over segments
+    thin = 50
+    nseg = max(1, ITERS // thin)
+
+    def runb(s):
+        out, _ = run_fn(s, 1, thin)
+        return out
 
     # warm-up (compile + first segment)
     states = runb(states)
     jax.block_until_ready(states.logL)
 
     t0 = time.time()
-    states = runb(states)
+    for _ in range(nseg):
+        states = runb(states)
     jax.block_until_ready(states.logL)
     dt = time.time() - t0
 
-    proposals = n_snap * thin * NCHAINS
+    proposals = nseg * thin * NCHAINS
     rate = proposals / dt
     print(json.dumps({
         'metric': 'joint SWD+RF McMC proposal throughput '
