@@ -133,7 +133,8 @@ class MCMC_Optimizer(object):
                     logL=logL, misfits=misfits, noise=noise, vpvs=vpvs)
 
     def _run_phase(self, states, niter, label, baywatch_pub=None,
-                   dtsend=0.5, t0=None):
+                   dtsend=0.5, t0=None, phase_id=1, start_it=0,
+                   parts=None):
         """Run one phase in fixed-size device segments with host-side
         snapshot collection every ``thin`` iterations; returns
         (states, snapshots dict of stacked (chains, n_snap, ...)
@@ -141,20 +142,23 @@ class MCMC_Optimizer(object):
 
         Segment size is calibrated ONCE (a second compile at most) to
         ``segment_seconds`` per device call — long calls trip remote-
-        TPU watchdogs, short ones waste dispatch."""
+        TPU watchdogs, short ones waste dispatch.  A checkpoint is
+        written every ``checkpoint_seconds`` (0 disables)."""
         thin, n_snap, rem = self._phase_plan(niter)
         if n_snap == 0:
             return states, None
         total = n_snap * thin + rem
 
         target_s = float(self.initparams.get('segment_seconds', 5.0))
+        ckpt_s = float(self.initparams.get('checkpoint_seconds', 600.0))
         seg = int(min(50, total))
-        parts = []
-        it_done = 0
-        next_snap = thin
+        parts = list(parts) if parts else []
+        it_done = start_it
+        next_snap = thin * (len(parts) + 1)
         next_log = 0
         calibrated = False
         last_send = 0.0
+        last_ckpt = time.time()
         while it_done < total:
             step = min(seg, total - it_done)
             t_seg = time.time()
@@ -193,6 +197,13 @@ class MCMC_Optimizer(object):
                               else self._snapshot_host(states))
                 last_send = time.time()
 
+            if ckpt_s > 0 and time.time() - last_ckpt > ckpt_s \
+                    and it_done < total:
+                self.save_checkpoint(states, phase_id, it_done, parts)
+                last_ckpt = time.time()
+                logger.info('> checkpoint written (%s, %d/%d it)'
+                            % (label.strip(), it_done, total))
+
         # stack snapshots to (chains, n_snap, ...)
         snapshots = {k: np.stack([p[k] for p in parts], axis=1)
                      for k in parts[0]}
@@ -212,11 +223,55 @@ class MCMC_Optimizer(object):
         socket.send_array(noise)
 
     # ------------------------------------------------------------------
+    # checkpoint / resume — the full sampler state is one pytree, so a
+    # checkpoint is a flat npz of its leaves plus phase bookkeeping
+    # (the reference cannot resume at all; SURVEY.md §5)
+    # ------------------------------------------------------------------
 
-    def mp_inversion(self, nthreads=0, baywatch=False, dtsend=0.5):
+    @property
+    def ckptfile(self):
+        return op.join(self.savepath, 'checkpoint.npz')
+
+    def save_checkpoint(self, states, phase, it_done, parts):
+        leaves = jax.tree_util.tree_leaves(jax.device_get(states))
+        payload = {'leaf_%d' % i: np.asarray(v)
+                   for i, v in enumerate(leaves)}
+        payload['phase'] = np.asarray(phase)
+        payload['it_done'] = np.asarray(it_done)
+        payload['n_parts'] = np.asarray(len(parts))
+        for i, p in enumerate(parts):
+            for key, v in p.items():
+                payload['part%d_%s' % (i, key)] = v
+        tmpfile = self.ckptfile + '.tmp.npz'
+        np.savez(tmpfile, **payload)
+        os.replace(tmpfile, self.ckptfile)
+
+    def load_checkpoint(self):
+        """Returns (states, phase, it_done, parts) or None."""
+        if not op.exists(self.ckptfile):
+            return None
+        data = np.load(self.ckptfile, allow_pickle=False)
+        template = self.sampler.init_states_host(0, self.nchains_padded)
+        treedef = jax.tree_util.tree_structure(template)
+        nleaves = len(jax.tree_util.tree_leaves(template))
+        leaves = [jnp.asarray(data['leaf_%d' % i])
+                  for i in range(nleaves)]
+        states = jax.tree_util.tree_unflatten(treedef, leaves)
+        states = jax.device_put(states, self.sharding)
+        parts = []
+        keys = ('model', 'logL', 'misfits', 'noise', 'vpvs')
+        for i in range(int(data['n_parts'])):
+            parts.append({k: data['part%d_%s' % (i, k)] for k in keys})
+        return states, int(data['phase']), int(data['it_done']), parts
+
+    # ------------------------------------------------------------------
+
+    def mp_inversion(self, nthreads=0, baywatch=False, dtsend=0.5,
+                     resume=False):
         """Run the full inversion.  ``nthreads`` is accepted for
         reference API compatibility and ignored (chains run as one
-        batched device program)."""
+        batched device program).  With ``resume=True`` an existing
+        ``checkpoint.npz`` in the savepath continues a previous run."""
         t0 = time.time()
 
         socket = None
@@ -232,17 +287,29 @@ class MCMC_Optimizer(object):
             except Exception as exc:  # pragma: no cover
                 logger.warning('BayWatch publisher unavailable: %s' % exc)
 
-        states = self._init_states()
+        ckpt = self.load_checkpoint() if resume else None
+        if ckpt is not None:
+            states, phase0, it0, parts0 = ckpt
+            logger.info('> Resuming from checkpoint: phase %d, '
+                        '%d iterations done.' % (phase0, it0))
+        else:
+            states = self._init_states()
+            phase0, it0, parts0 = 1, 0, []
 
-        states, p1 = self._run_phase(
-            states, self.iter_phase1, 'burn-in', baywatch_pub=socket,
-            dtsend=dtsend, t0=t0)
+        if phase0 <= 1:
+            states, p1 = self._run_phase(
+                states, self.iter_phase1, 'burn-in', baywatch_pub=socket,
+                dtsend=dtsend, t0=t0, phase_id=1, start_it=it0,
+                parts=parts0)
+            self._save_phase(p1, 'p1')
+            it0, parts0 = 0, []
         states, p2 = self._run_phase(
             states, self.iter_phase2, 'main   ', baywatch_pub=socket,
-            dtsend=dtsend, t0=t0)
-
-        self._save_phase(p1, 'p1')
+            dtsend=dtsend, t0=t0, phase_id=2, start_it=it0,
+            parts=parts0)
         self._save_phase(p2, 'p2')
+        if op.exists(self.ckptfile):
+            os.remove(self.ckptfile)
 
         self.final_states = states
         runtime = time.time() - t0

@@ -114,10 +114,17 @@ class _TargetSpec:
             self.p = float(plugin.modelparams['p'])
             self.nsv = plugin.modelparams.get('nsv', None)
         else:
-            raise NotImplementedError(
-                'custom targets need a batched forward fn; ref=%s. '
-                'Use the host path (MCMC mode "host") or contribute a '
-                'kernel.' % target.ref)
+            # custom target: the plugin must expose a JAX-traceable
+            # forward `run_model_jax(h, vp, vs, rho) -> y` over padded
+            # (NL,) layer arrays (see templates/myfwd.py)
+            fwd = getattr(plugin, 'run_model_jax', None)
+            if fwd is None:
+                raise NotImplementedError(
+                    'custom target %r: its forward plugin must define '
+                    'run_model_jax(h, vp, vs, rho) -> y (a JAX-'
+                    'traceable, fixed-shape function; see '
+                    'templates/myfwd.py)' % target.ref)
+            self.jax_forward = fwd
 
         if self.cov == 'gauss':
             corr_inv, logdet = lk.init_covariance_gauss(
@@ -168,6 +175,10 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
 
     def _forward(spec, h, vp, vs_l, rho, c_prev):
         """One target's synthetic data; returns (y, tvalid, roots)."""
+        if spec.kind == 'custom':
+            y = spec.jax_forward(h, vp, vs_l, rho)
+            return (y, jnp.all(jnp.isfinite(y)),
+                    jnp.zeros((0,), dtype))
         if spec.kind == 'swd':
             cg, err, roots = surfdisp_roots(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,

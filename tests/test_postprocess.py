@@ -1,0 +1,152 @@
+"""End-to-end post-processing tests: optimizer output contract ->
+PlotFromStorage (outliers, final distribution, plots, PDF merge), the
+BayWatch ZMQ wire format, and the config loaders."""
+
+import glob
+import os
+import os.path as op
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use('PDF')
+
+from bayhunter_tpu import Targets, MCMC_Optimizer, PlotFromStorage
+from bayhunter_tpu import utils
+from bayhunter_tpu.synthobs import SynthObs
+
+
+@pytest.fixture(scope='module')
+def mini_opt(tmp_path_factory):
+    """A tiny SWD-only inversion producing the reference file layout.
+    Returns (savepath, optimizer) — tests share the compiled programs.
+    """
+    tmp = str(tmp_path_factory.mktemp('run'))
+    h = np.array([5., 23., 8., 0.])
+    vs = np.array([2.7, 3.6, 3.8, 4.4])
+    x, y = SynthObs.return_swddata(h, vs, vpvs=1.73)['rdispph']
+    rs = np.random.RandomState(3)
+    ynoisy = np.asarray(y) + 0.012 * rs.normal(size=np.asarray(y).size)
+    target = Targets.RayleighDispersionPhase(np.asarray(x), ynoisy)
+    targets = Targets.JointTarget(targets=[target])
+    priors = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 8),
+              'vpvs': 1.73, 'swdnoise_corr': 0.0,
+              'swdnoise_sigma': (1e-5, 0.05)}
+    initparams = {'nchains': 6, 'iter_burnin': 300, 'iter_main': 300,
+                  'propdist': (0.015, 0.015, 0.015, 0.005, 0.005),
+                  'acceptance': (40, 45), 'thickmin': 0.1,
+                  'maxmodels': 30, 'savepath': tmp, 'station': 'mini',
+                  # keep ONE compiled segment size (fast CI)
+                  'segment_seconds': 0.5, 'checkpoint_seconds': 0}
+    opt = MCMC_Optimizer(targets, initparams=initparams, priors=priors,
+                         random_seed=9)
+    opt.mp_inversion()
+    return tmp, opt
+
+
+@pytest.fixture(scope='module')
+def mini_run(mini_opt):
+    return mini_opt[0]
+
+
+def test_output_contract(mini_run):
+    """Per-chain .npy layout matches the reference
+    (reference: src/SingleChain.py:665-690)."""
+    datadir = op.join(mini_run, 'data')
+    for c in range(6):
+        for phase in ('p1', 'p2'):
+            for name in ('models', 'likes', 'misfits', 'noise', 'vpvs'):
+                f = op.join(datadir, 'c%.3d_%s%s.npy' % (c, phase, name))
+                assert op.exists(f), f
+    models = np.load(op.join(datadir, 'c000_p2models.npy'))
+    likes = np.load(op.join(datadir, 'c000_p2likes.npy'))
+    assert models.ndim == 2 and models.shape[1] == 2 * 9  # 2*(maxlay+1)
+    assert likes.shape[0] == models.shape[0]
+    assert op.exists(op.join(datadir, 'mini_config.pkl'))
+
+
+def test_plot_from_storage_full_pipeline(mini_run):
+    configfile = op.join(mini_run, 'data', 'mini_config.pkl')
+    obj = PlotFromStorage(configfile)
+    obj.save_final_distribution(maxmodels=200, dev=0.5)
+    datadir = op.join(mini_run, 'data')
+    for name in ('models', 'likes', 'misfits', 'noise', 'vpvs'):
+        assert op.exists(op.join(datadir, 'c_%s.npy' % name))
+    obj.save_plots(nchains=3)
+    obj.merge_pdfs()
+    figs = glob.glob(op.join(mini_run, 'c_*.pdf'))
+    assert len(figs) >= 10
+    assert op.exists(op.join(mini_run, 'c_summary.pdf'))
+    assert op.exists(op.join(mini_run, 'data', 'outliers.dat'))
+
+
+def test_baywatch_wire_roundtrip():
+    zmq = pytest.importorskip('zmq')
+    from bayhunter_tpu.utils import SerializingContext
+    ctx = SerializingContext()
+    pub = ctx.socket(zmq.PUB)
+    sub = ctx.socket(zmq.SUB)
+    pub.bind('inproc://wiretest')
+    sub.connect('inproc://wiretest')
+    sub.setsockopt(zmq.SUBSCRIBE, b'')
+    import time
+    time.sleep(0.1)
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    pub.send_array(arr)
+    got = sub.recv_array()
+    np.testing.assert_array_equal(got, arr)
+    assert got.dtype == np.float32
+    pub.close()
+    sub.close()
+
+
+def test_config_loader_tutorial_ini():
+    ini = op.join(op.dirname(__file__), '..', 'tutorial', 'config.ini')
+    priors, initparams = utils.load_params(ini)
+    assert priors['vpvs'] == (1.4, 2.1)
+    assert priors['layers'] == (1, 20)
+    assert priors['mohoest'] is None
+    assert priors['swdnoise_corr'] == 0.0
+    assert initparams['iter_burnin'] == 2048 * 16
+    assert initparams['station'] == 'test'
+    # scalar prior => fixed parameter; tuple => inverted for
+    assert isinstance(priors['swdnoise_corr'], float)
+    assert isinstance(priors['rfnoise_sigma'], tuple)
+
+
+def test_checkpoint_roundtrip_and_resume(mini_opt):
+    import jax
+    tmp, opt = mini_opt
+
+    states = opt._init_states()
+    parts = [opt._snapshot_host(states)]
+    opt.save_checkpoint(states, 1, 120, parts)
+    loaded = opt.load_checkpoint()
+    assert loaded is not None
+    states2, phase, it_done, parts2 = loaded
+    assert phase == 1 and it_done == 120 and len(parts2) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(states),
+                    jax.tree_util.tree_leaves(states2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(parts2[0]['model'],
+                                  parts[0]['model'])
+
+    # resume completes the run and clears the checkpoint
+    opt.mp_inversion(resume=True)
+    assert not op.exists(opt.ckptfile)
+    assert op.exists(op.join(tmp, 'data', 'c000_p2models.npy'))
+
+
+def test_save_read_config_pickle(tmp_path, mini_run):
+    outfile = str(tmp_path / 'cfg.pkl')
+    h = np.array([5., 0.])
+    x = np.linspace(1, 20, 5)
+    target = Targets.RayleighDispersionPhase(x, np.ones(5) * 3.0)
+    joint = Targets.JointTarget(targets=[target])
+    utils.save_config(joint, outfile, priors={'vs': (2, 5)},
+                      initparams={'station': 'x'})
+    back = utils.read_config(outfile)
+    assert back['priors']['vs'] == (2, 5)
+    assert len(back['targets']) == 1
+    assert back['targets'][0].ref == 'rdispph'

@@ -1,0 +1,163 @@
+"""McMC sampler correctness tests (SURVEY.md §4 items c/d).
+
+All on CPU in float64 via conftest; chains are tiny so the whole file
+stays fast.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bayhunter_tpu import Targets
+from bayhunter_tpu.synthobs import SynthObs
+from bayhunter_tpu.sampler.chain import build_sampler, make_config
+from bayhunter_tpu.sampler.evaluator import build_evaluator
+
+DTYPE = jnp.float64
+
+PRIORS = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 10),
+          'vpvs': 1.73, 'mohoest': None, 'mantle': None,
+          'swdnoise_corr': 0.0, 'swdnoise_sigma': (1e-5, 0.05),
+          'rfnoise_corr': 0.92, 'rfnoise_sigma': (1e-5, 0.05)}
+INITPARAMS = {'propdist': (0.015, 0.015, 0.015, 0.005, 0.005),
+              'acceptance': (40, 45), 'thickmin': 0.1,
+              'lvz': None, 'hvz': None, 'rcond': 1e-5,
+              'iter_burnin': 1000, 'iter_main': 1000}
+NL = 11
+
+
+def _swd_problem():
+    h = np.array([5., 23., 8., 0.])
+    vs = np.array([2.7, 3.6, 3.8, 4.4])
+    x, y = SynthObs.return_swddata(h, vs, vpvs=1.73)['rdispph']
+    rs = np.random.RandomState(11)
+    ynoisy = np.asarray(y) + 0.012 * rs.normal(size=np.asarray(y).size)
+    target = Targets.RayleighDispersionPhase(np.asarray(x), ynoisy)
+    return Targets.JointTarget(targets=[target])
+
+
+@pytest.fixture(scope='module')
+def sampler():
+    joint = _swd_problem()
+    cfg = make_config(PRIORS, INITPARAMS, ['swd'], nl=NL, dtype=DTYPE)
+    ev = build_evaluator(joint, PRIORS, INITPARAMS, NL, dtype=DTYPE)
+    return build_sampler(ev, cfg)
+
+
+def test_init_states_host_valid(sampler):
+    states = sampler.init_states_host(0, 16)
+    assert states.vs.shape == (16, NL)
+    assert np.all(np.isfinite(np.asarray(states.logL)))
+    assert np.all(np.asarray(states.n) == PRIORS['layers'][0] + 1)
+    # depths sorted over the active slots
+    z = np.asarray(states.z)[:, :PRIORS['layers'][0] + 1]
+    assert np.all(np.diff(z, axis=1) >= 0)
+
+
+def test_seeded_determinism(sampler):
+    s1 = sampler.init_states_host(42, 4)
+    s2 = sampler.init_states_host(42, 4)
+    a1, _ = sampler.run_fn(s1, 2, 25)
+    a2, _ = sampler.run_fn(s2, 2, 25)
+    np.testing.assert_array_equal(np.asarray(a1.logL),
+                                  np.asarray(a2.logL))
+    np.testing.assert_array_equal(np.asarray(a1.vs), np.asarray(a2.vs))
+
+
+def test_sampling_improves_likelihood(sampler):
+    states = sampler.init_states_host(1, 16)
+    logL0 = np.median(np.asarray(states.logL))
+    states, _ = sampler.run_fn(states, 4, 250)
+    logL1 = np.median(np.asarray(states.logL))
+    assert logL1 > logL0
+
+
+def test_acceptance_counters(sampler):
+    states = sampler.init_states_host(2, 8)
+    states, _ = sampler.run_fn(states, 2, 25)
+    acc = np.asarray(states.accepted)
+    prop = np.asarray(states.proposed)
+    assert np.all(acc <= prop)
+    assert prop.sum() > 0
+
+
+def test_snapshots_reference_layout(sampler):
+    states = sampler.init_states_host(3, 4)
+    _, snaps = sampler.run_fn(states, 2, 25)
+    model = np.asarray(snaps['model'])
+    assert model.shape == (2, 4, 2 * NL)  # (n_snap, chains, 2*NL)
+    # NaN padding after the active nuclei, like the reference vectors
+    n = PRIORS['layers'][0] + 1
+    finite = np.isfinite(model)
+    assert finite[..., :n].all()
+
+
+def test_prior_only_sampling_recovers_prior():
+    """With a constant likelihood the chain must sample the prior:
+    layer count roughly uniform over its range and vs within bounds
+    (SURVEY.md §4 test item c; validates the Bodin birth/death
+    acceptance terms)."""
+    joint = _swd_problem()
+    # wide birth/death proposal width (fast transdimensional mixing at
+    # the prior) and disabled width adaptation (acceptance window 0-100)
+    initparams = dict(INITPARAMS,
+                      propdist=(0.05, 0.05, 1.0, 0.005, 0.005),
+                      acceptance=(0.0, 100.0))
+    cfg = make_config(PRIORS, initparams, ['swd'], nl=NL, dtype=DTYPE)
+    ev = build_evaluator(joint, PRIORS, initparams, NL, dtype=DTYPE)
+
+    class FlatEval(object):
+        eval_full = staticmethod(
+            lambda vs, z, n, vpvs, noise, cache:
+            (jnp.zeros((), DTYPE), jnp.zeros((2,), DTYPE),
+             jnp.asarray(True), cache))
+        eval_cold = staticmethod(
+            lambda vs, z, n, vpvs, noise:
+            (jnp.zeros((), DTYPE), jnp.zeros((2,), DTYPE),
+             jnp.asarray(True), ((jnp.zeros((1,), DTYPE),
+                                  jnp.zeros((0,), DTYPE)),)))
+        eval_noise = staticmethod(
+            lambda noise, cache: (jnp.zeros((), DTYPE),
+                                  jnp.asarray(True)))
+
+    smp = build_sampler(FlatEval(), cfg)
+    states = smp.init_states_host(7, 64)
+    states, snaps = smp.run_fn(states, 40, 200)  # 8000 iterations
+
+    model = np.asarray(snaps['model'])  # (40, 64, 2*NL)
+    nmax = PRIORS['layers'][1] + 1
+    ns = np.isfinite(model[20:, :, :NL]).sum(axis=-1).ravel()
+    # layer count must spread over the prior range, not collapse
+    assert ns.min() <= 3
+    assert ns.max() >= nmax - 1
+    # vs samples stay inside the prior box
+    vs_samples = model[20:, :, :NL]
+    vs_samples = vs_samples[np.isfinite(vs_samples)]
+    assert vs_samples.min() >= PRIORS['vs'][0] - 1e-9
+    assert vs_samples.max() <= PRIORS['vs'][1] + 1e-9
+    # mean layer count near the middle of the prior (uniform => ~6.5
+    # nuclei for layers in [1,10] -> n in [2,11]); loose tolerance
+    assert 4.5 < ns.mean() < 8.5
+
+
+def test_eval_noise_matches_eval_cold(sampler):
+    """The noise-move fast path must score identically to a full
+    evaluation at the same hyperparameters (it reuses the cached
+    synthetics of the current model)."""
+    joint = _swd_problem()
+    ev = build_evaluator(joint, PRIORS, INITPARAMS, NL, dtype=DTYPE)
+    states = sampler.init_states_host(6, 4)
+    vs = jnp.asarray(np.asarray(states.vs)[0])
+    z = jnp.asarray(np.asarray(states.z)[0])
+    n = jnp.asarray(np.asarray(states.n)[0])
+    vpvs = jnp.asarray(np.asarray(states.vpvs)[0])
+    noise = jnp.asarray(np.asarray(states.noise)[0])
+    logL0, _, _, cache = ev.eval_cold(vs, z, n, vpvs, noise)
+    noise2 = noise.at[1].mul(1.5)
+    logL_fast, valid = ev.eval_noise(noise2, cache)
+    logL_full, _, _, _ = ev.eval_cold(vs, z, n, vpvs, noise2)
+    assert bool(valid)
+    np.testing.assert_allclose(float(logL_fast), float(logL_full),
+                               rtol=1e-12)
