@@ -60,6 +60,8 @@ class ChainState(typing.NamedTuple):
     iiter: jax.Array        # () int32 — negative during burn-in
     cache: typing.Any = ()  # per-target (y_synth, swd roots) forward
     #                         cache of the CURRENT model (evaluator.py)
+    cell: jax.Array = 0     # () int32 — dataset row for tomography-
+    #                         scale batched observations (0 otherwise)
 
 
 class Sampler(typing.NamedTuple):
@@ -320,10 +322,11 @@ def build_sampler(eval_fn, cfg):
 
         def fwd_full(_):
             return eval_fn.eval_full(vs_p, z_p, n_p, vpvs_p, noise_p,
-                                     state.cache)
+                                     state.cache, state.cell)
 
         def fwd_noise(_):
-            logL_n, fvalid_n = eval_fn.eval_noise(noise_p, state.cache)
+            logL_n, fvalid_n = eval_fn.eval_noise(noise_p, state.cache,
+                                                  state.cell)
             return logL_n, state.misfits, fvalid_n, state.cache
 
         logL_p, misfits_p, fvalid, cache_p = lax.cond(
@@ -374,7 +377,8 @@ def build_sampler(eval_fn, cfg):
             accepted=accepted,
             proposed=proposed,
             iiter=state.iiter + 1,
-            cache=jax.tree_util.tree_map(sel, cache_p, state.cache))
+            cache=jax.tree_util.tree_map(sel, cache_p, state.cache),
+            cell=state.cell)
         return new_state, None
 
     # ------------------------------------------------------------------
@@ -454,7 +458,7 @@ def build_sampler(eval_fn, cfg):
             accepted=jnp.zeros(5, jnp.int32),
             proposed=jnp.zeros(5, jnp.int32),
             iiter=jnp.asarray(-cfg.iter_burnin, jnp.int32),
-            cache=cache0)
+            cache=cache0, cell=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
     # host-side batch init — numpy rejection sampling like the
@@ -480,10 +484,11 @@ def build_sampler(eval_fn, cfg):
             ok &= np.all(dvs < vs0 * (1.0 + cfg.hvz), axis=1)
         return ok
 
-    def init_states_host(seed, nchains, eval_batch=None):
+    def init_states_host(seed, nchains, eval_batch=None, cells=None):
         """Draw ``nchains`` valid initial states with numpy; evaluate
-        logL in one batched device call.  ``eval_batch`` defaults to
-        ``jax.jit(jax.vmap(eval_fn))``."""
+        logL in one batched device call.  ``cells`` optionally assigns
+        each chain a dataset row for tomography-scale batched
+        observations (see evaluator)."""
         rs = np.random.RandomState(seed)
         vs_h = np.empty((nchains, n_init))
         z_h = np.empty((nchains, n_init))
@@ -538,10 +543,15 @@ def build_sampler(eval_fn, cfg):
         n_j = jnp.full((nchains,), n_init, jnp.int32)
         vpvs_j = jnp.asarray(vpvs_h, dtype)
         noise_j = jnp.asarray(noise_h, dtype)
+        if cells is None:
+            cells_j = jnp.zeros((nchains,), jnp.int32)
+        else:
+            cells_j = jnp.asarray(np.asarray(cells), jnp.int32)
         if eval_batch is None:
             eval_batch = jax.jit(jax.vmap(eval_fn.eval_cold))
         logL_j, misfits_j, _, cache_j = eval_batch(vs_j, z_j, n_j,
-                                                   vpvs_j, noise_j)
+                                                   vpvs_j, noise_j,
+                                                   cells_j)
         keys = jax.random.split(
             jax.random.PRNGKey(int(rs.randint(2 ** 31))), nchains)
         return ChainState(
@@ -552,7 +562,7 @@ def build_sampler(eval_fn, cfg):
             accepted=jnp.zeros((nchains, 5), jnp.int32),
             proposed=jnp.zeros((nchains, 5), jnp.int32),
             iiter=jnp.full((nchains,), -cfg.iter_burnin, jnp.int32),
-            cache=cache_j)
+            cache=cache_j, cell=cells_j)
 
     # ------------------------------------------------------------------
     # runners — iterations are the OUTER scan, chains the inner vmap,

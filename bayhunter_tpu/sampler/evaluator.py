@@ -86,8 +86,13 @@ class _TargetSpec:
         self.ref = target.ref
         self.kind = 'swd' if target.ref in SWD_REFS else \
             'rf' if target.ref in RF_REFS else 'custom'
-        self.yobs = jnp.asarray(target.obsdata.y, dtype)
-        self.ndata = int(target.obsdata.y.size)
+        # observed data may be (ndata,) for one station, or
+        # (ncells, ndata) for tomography-scale batched inversions —
+        # each chain then selects its row via its ``cell`` index
+        yobs = np.asarray(target.obsdata.y)
+        self.batched_obs = yobs.ndim == 2
+        self.yobs = jnp.asarray(yobs, dtype)
+        self.ndata = int(yobs.shape[-1])
         self.cov = _covariance_kind(target, corr_fixed, corr_value)
 
         plugin = target.moddata.plugin
@@ -136,6 +141,9 @@ class _TargetSpec:
             scaled = yerr / yerr.min()
             self.scaled_err = jnp.asarray(scaled, dtype)
             self.log_scalederr_sum = float(np.sum(np.log(scaled)))
+
+    def yobs_for(self, cell):
+        return self.yobs[cell] if self.batched_obs else self.yobs
 
 
 def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
@@ -202,7 +210,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         y = rf_t[:spec.ndata]
         return y, jnp.all(jnp.isfinite(y)), jnp.zeros((0,), dtype)
 
-    def _eval(vs, z, n, vpvs, noise, cache):
+    def _eval(vs, z, n, vpvs, noise, cache, cell):
         h, vp, vs_l, rho = voronoi_to_layers(vs, z, n, vpvs,
                                              mantle=mantle)
         logL = jnp.zeros((), dtype)
@@ -216,7 +224,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
             y, tvalid, roots = _forward(spec, h, vp, vs_l, rho, c_prev)
             new_cache.append((y, roots))
 
-            ydiff = jnp.where(tvalid, y - spec.yobs, 0.0)
+            ydiff = jnp.where(tvalid, y - spec.yobs_for(cell), 0.0)
             misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2)))
             logL = logL + _loglike(spec, ydiff, noise[2 * i],
                                    noise[2 * i + 1])
@@ -228,13 +236,13 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         misfits = jnp.where(valid, misfits, MISFIT_SENTINEL)
         return logL, misfits.astype(dtype), valid, tuple(new_cache)
 
-    def eval_full(vs, z, n, vpvs, noise, cache):
-        return _eval(vs, z, n, vpvs, noise, cache)
+    def eval_full(vs, z, n, vpvs, noise, cache, cell=0):
+        return _eval(vs, z, n, vpvs, noise, cache, cell)
 
-    def eval_cold(vs, z, n, vpvs, noise):
-        return _eval(vs, z, n, vpvs, noise, None)
+    def eval_cold(vs, z, n, vpvs, noise, cell=0):
+        return _eval(vs, z, n, vpvs, noise, None, cell)
 
-    def eval_noise(noise, cache):
+    def eval_noise(noise, cache, cell=0):
         """Likelihood under new noise hyperparameters with the cached
         synthetic data (the model is unchanged by a noise move, so the
         forward solves and misfits are reusable)."""
@@ -243,7 +251,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         for i, spec in enumerate(specs):
             y = cache[i][0]
             tvalid = jnp.all(jnp.isfinite(y))
-            ydiff = jnp.where(tvalid, y - spec.yobs, 0.0)
+            ydiff = jnp.where(tvalid, y - spec.yobs_for(cell), 0.0)
             logL = logL + _loglike(spec, ydiff, noise[2 * i],
                                    noise[2 * i + 1])
             valid = valid & tvalid

@@ -110,17 +110,17 @@ def test_prior_only_sampling_recovers_prior():
 
     class FlatEval(object):
         eval_full = staticmethod(
-            lambda vs, z, n, vpvs, noise, cache:
+            lambda vs, z, n, vpvs, noise, cache, cell=0:
             (jnp.zeros((), DTYPE), jnp.zeros((2,), DTYPE),
              jnp.asarray(True), cache))
         eval_cold = staticmethod(
-            lambda vs, z, n, vpvs, noise:
+            lambda vs, z, n, vpvs, noise, cell=0:
             (jnp.zeros((), DTYPE), jnp.zeros((2,), DTYPE),
              jnp.asarray(True), ((jnp.zeros((1,), DTYPE),
                                   jnp.zeros((0,), DTYPE)),)))
         eval_noise = staticmethod(
-            lambda noise, cache: (jnp.zeros((), DTYPE),
-                                  jnp.asarray(True)))
+            lambda noise, cache, cell=0: (jnp.zeros((), DTYPE),
+                                          jnp.asarray(True)))
 
     smp = build_sampler(FlatEval(), cfg)
     states = smp.init_states_host(7, 64)
