@@ -490,7 +490,8 @@ def _ksection_refine(omega, lo, secular, KR, niter, dtype):
 
 def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
                    mode=1, igr=0, iflsph=0, kblock=64, nblocks=16,
-                   krefine=15, nrefine=None, warm_halfwidth=16):
+                   krefine=15, nrefine=None, warm_halfwidth=16,
+                   warm_max_trips=None):
     """Like :func:`surfdisp` but also returns the refined
     phase-velocity roots for warm-starting a subsequent solve.
 
@@ -539,12 +540,28 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
         omegas = TWOPI / t
 
     if c_prev is not None:
-        # warm path: expanding ring search around the previous roots
+        # warm path: a few expanding rings around the previous roots
+        # (small perturbations exit after ring 1), then the 64-wide
+        # counting search ONLY for lanes whose root jumped far —
+        # heavy-tailed under birth/death moves — where the wide walk
+        # from cm is cheaper than a long ring expansion
         cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
-        lo, found = _ring_brackets(omegas, cp, cm, betmx, secular,
-                                   warm_halfwidth,
-                                   max(1, (kblock * nblocks)
-                                       // warm_halfwidth), dtype)
+        if warm_max_trips is None:
+            # pure ring: expand until the root is found or the range
+            # is exhausted (measured fastest — a counting-search
+            # fallback re-pays the full sweep whenever ANY lane in the
+            # batch misses, which at large batches is every
+            # birth/death iteration)
+            trips = max(1, (kblock * nblocks) // warm_halfwidth)
+            lo, found = _ring_brackets(omegas, cp, cm, betmx, secular,
+                                       warm_halfwidth, trips, dtype)
+        else:
+            lo0, found0 = _ring_brackets(omegas, cp, cm, betmx,
+                                         secular, warm_halfwidth,
+                                         warm_max_trips, dtype)
+            lo, found = _find_brackets(omegas, cm, betmx, secular,
+                                       mode, kblock, nblocks, dtype,
+                                       found0=found0, lo0=lo0)
     else:
         lo, found = _find_brackets(omegas, cm, betmx, secular, mode,
                                    kblock, nblocks, dtype)
