@@ -47,11 +47,19 @@ contributes an identity propagator, so padding never changes results.
 No data-dependent shapes anywhere; everything vmaps over a chain axis.
 """
 
+import os
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Pallas secular-function kernel (TPU): keeps the whole Dunkin layer
+# recursion in VMEM.  Off by default so CPU tests and f64 golden runs
+# use the portable XLA path; the optimizer/bench enable it on TPU.
+# Values: '1' on, '0' off (also via env BAYHUNTER_PALLAS).
+USE_PALLAS = os.environ.get('BAYHUNTER_PALLAS', '0') == '1'
 
 TWOPI = 2.0 * jnp.pi
 DDC = 0.005          # phase-velocity grid step (surfdisp96.f:126)
@@ -526,6 +534,19 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     if iwave == 1:
         def secular(wvno, omega):
             return dltar1(wvno, omega, d, a, b, rho_w, water)
+    elif USE_PALLAS and dtype == jnp.float32:
+        from bayhunter_tpu.ops.pallas_secular import \
+            dltar4_pallas_single
+
+        def secular(wvno, omega):
+            wvno_b, omega_b = jnp.broadcast_arrays(wvno, omega)
+            shape = wvno_b.shape
+            n0 = int(np.prod(shape)) if shape else 1
+            L = max(128, -(-n0 // 128) * 128)
+            wv = jnp.resize(wvno_b.reshape(-1), (L,))
+            om = jnp.resize(omega_b.reshape(-1), (L,))
+            vals = dltar4_pallas_single(wv, om, d, a, b, rho_w)
+            return vals[:n0].reshape(shape)
     else:
         def secular(wvno, omega):
             return dltar4(wvno, omega, d, a, b, rho_w, water)

@@ -1,0 +1,73 @@
+"""Pallas secular kernel vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bayhunter_tpu.ops.pallas_secular import (dltar4_pallas,
+                                              dltar4_pallas_single)
+from bayhunter_tpu.ops.swd import dltar4
+
+
+def _model(NL=21):
+    h = np.zeros(NL)
+    h[:4] = [5., 23., 8., 0.]
+    vs = np.full(NL, 4.4)
+    vs[:4] = [2.7, 3.6, 3.8, 4.4]
+    vp = vs * 1.73
+    rho = vp * 0.32 + 0.77
+    return h, vp, vs, rho
+
+
+def test_pallas_secular_matches_xla():
+    h, vp, vs, rho = _model()
+    rs = np.random.RandomState(0)
+    C, L = 4, 256
+    per = rs.uniform(1, 41, L)
+    omega = (2 * np.pi / per).astype(np.float32)
+    c = rs.uniform(2.0, 4.3, (C, L)).astype(np.float32)
+    wv = omega[None, :] / c
+    om = np.broadcast_to(omega, (C, L)).astype(np.float32)
+
+    D = jnp.tile(jnp.asarray(h, jnp.float32), (C, 1))
+    A = jnp.tile(jnp.asarray(vp, jnp.float32), (C, 1))
+    B = jnp.tile(jnp.asarray(vs, jnp.float32), (C, 1))
+    R = jnp.tile(jnp.asarray(rho, jnp.float32), (C, 1))
+
+    out = dltar4_pallas(jnp.asarray(wv), jnp.asarray(om), D, A, B, R,
+                        interpret=True)
+    ref = jax.vmap(lambda w, o, d, a, b, r:
+                   dltar4(w, o, d, a, b, r, jnp.asarray(False)))(
+        jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
+    out_n, ref_n = np.asarray(out), np.asarray(ref)
+    assert np.all(np.sign(out_n) == np.sign(ref_n))
+    np.testing.assert_allclose(out_n, ref_n, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_secular_water_layer():
+    h, vp, vs, rho = _model(8)
+    vs[0] = 0.0  # surface water layer
+    vp[0] = 1.5
+    rho[0] = 1.0
+    h[0] = 2.0
+    rs = np.random.RandomState(1)
+    L = 128
+    per = rs.uniform(1, 41, L)
+    omega = (2 * np.pi / per).astype(np.float32)
+    wv = (omega / rs.uniform(2.0, 4.3, L)).astype(np.float32)
+
+    out = dltar4_pallas_single(jnp.asarray(wv), jnp.asarray(omega),
+                               jnp.asarray(h, jnp.float32),
+                               jnp.asarray(vp, jnp.float32),
+                               jnp.asarray(vs, jnp.float32),
+                               jnp.asarray(rho, jnp.float32),
+                               interpret=True)
+    ref = dltar4(jnp.asarray(wv), jnp.asarray(omega),
+                 jnp.asarray(h, jnp.float32),
+                 jnp.asarray(vp, jnp.float32),
+                 jnp.asarray(vs, jnp.float32),
+                 jnp.asarray(rho, jnp.float32), jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
