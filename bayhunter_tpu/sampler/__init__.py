@@ -8,6 +8,6 @@ The reference's process-per-chain sequential loop
     identical to the reference's accepted-model weighting).
 """
 
-from bayhunter_tpu.sampler.chain import (ChainState, SamplerConfig,
-                                         build_sampler)  # noqa: F401
+from bayhunter_tpu.sampler.chain import (ChainState, SamplerConfig,  # noqa: F401
+                                         SingleChain, build_sampler)
 from bayhunter_tpu.sampler.evaluator import build_evaluator  # noqa: F401

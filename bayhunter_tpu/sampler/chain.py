@@ -611,3 +611,60 @@ def build_sampler(eval_fn, cfg):
 
     return Sampler(init_fn, iterate, run_fn, snapshot_fn,
                    init_states_host)
+
+
+class SingleChain(object):
+    """Reference-compatible single-chain front end
+    (reference: src/SingleChain.py:25-690) over the batched sampler.
+
+    The production path runs thousands of chains through
+    ``MCMC_Optimizer``; this class exists for API parity and for
+    debugging a single chain.  After :meth:`run_chain`, the thinned
+    posterior is available as ``p1models/p2models`` (reference-layout
+    NaN-padded vectors), ``p1likes/p2likes`` etc.
+    """
+
+    def __init__(self, targets, chainidx=0, initparams=None,
+                 modelpriors=None, sharedmodels=None, sharedmisfits=None,
+                 sharedlikes=None, sharednoise=None, sharedvpvs=None,
+                 random_seed=None):
+        from bayhunter_tpu import config as cfgio
+        from bayhunter_tpu.sampler.evaluator import build_evaluator
+
+        defaults = cfgio.get_path('defaults.ini')
+        self.priors, self.initparams = cfgio.load_params(defaults)
+        self.priors.update(modelpriors or {})
+        self.initparams.update(initparams or {})
+        self.chainidx = chainidx
+        self.targets = targets
+
+        nl = int(self.priors['layers'][1]) + 1
+        noiserefs = [t.noiseref for t in targets.targets]
+        self.cfg = make_config(self.priors, self.initparams, noiserefs,
+                               nl=nl)
+        self.eval_fn = build_evaluator(targets, self.priors,
+                                       self.initparams, nl)
+        self.sampler = build_sampler(self.eval_fn, self.cfg)
+        self.seed = (random_seed if random_seed is not None
+                     else np.random.RandomState().randint(2 ** 31))
+
+    def run_chain(self):
+        maxmodels = int(self.initparams.get('maxmodels', 50000))
+        states = self.sampler.init_states_host(self.seed, 1)
+        for phase, niter in (('p1', self.cfg.iter_burnin),
+                             ('p2', self.cfg.iter_main)):
+            thin = max(1, int(np.ceil(niter / maxmodels)))
+            n_snap = max(1, niter // thin)
+            states, snaps = self.sampler.run_fn(states, n_snap, thin)
+            setattr(self, phase + 'models',
+                    np.asarray(snaps['model'])[:, 0])
+            setattr(self, phase + 'likes',
+                    np.asarray(snaps['logL'])[:, 0])
+            setattr(self, phase + 'misfits',
+                    np.asarray(snaps['misfits'])[:, 0])
+            setattr(self, phase + 'noise',
+                    np.asarray(snaps['noise'])[:, 0])
+            setattr(self, phase + 'vpvs',
+                    np.asarray(snaps['vpvs'])[:, 0])
+        self.final_state = states
+        return self
