@@ -159,13 +159,23 @@ class MCMC_Optimizer(object):
         calibrated = False
         last_send = 0.0
         last_ckpt = time.time()
+        step_fn = self.sampler.step_fn
+        it_global = int(np.asarray(jax.device_get(states.iiter))[0])
         while it_done < total:
             step = min(seg, total - it_done)
             t_seg = time.time()
-            states, _ = self._run_batch(states, 1, step)
+            # host-dispatched iterations: the per-iteration move id is
+            # an argument, keeping lax.cond/switch as real branches
+            # (inside a device-side scan they lose branchiness on TPU);
+            # calls are enqueued asynchronously and synced once
+            moves = self.sampler.moves_for(it_global, step)
+            for m in moves:
+                states = step_fn(states,
+                                 jnp.asarray(int(m), jnp.int32))
             jax.block_until_ready(states.logL)
             dt_seg = time.time() - t_seg
             it_done += step
+            it_global += step
 
             if not calibrated and step == seg:
                 calibrated = True

@@ -24,7 +24,7 @@ jax.config.update('jax_compilation_cache_dir',
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 BASELINE_PROPOSALS_PER_S = 2570.0
-NCHAINS = int(os.environ.get('BENCH_NCHAINS', 1024))
+NCHAINS = int(os.environ.get('BENCH_NCHAINS', 2048))
 ITERS = int(os.environ.get('BENCH_ITERS', 2000))
 
 
@@ -64,22 +64,28 @@ def main():
     states = sampler.init_states_host(0, NCHAINS)
     jax.block_until_ready(states.logL)
 
-    # short device calls (the axon tunnel kills long-running programs);
-    # one compile, host loop over segments
+    # production hot path: host-dispatched iterations (async enqueue,
+    # one sync per segment); see sampler/chain.py Sampler docstring
+    import jax.numpy as jnp
     thin = 50
     nseg = max(1, ITERS // thin)
+    step_fn = sampler.step_fn
+    it = -ITERS
 
-    def runb(s):
-        out, _ = run_fn(s, 1, thin)
-        return out
+    def run_segment(s, it0):
+        for m in sampler.moves_for(it0, thin):
+            s = step_fn(s, jnp.asarray(int(m), jnp.int32))
+        return s
 
     # warm-up (compile + first segment)
-    states = runb(states)
+    states = run_segment(states, it)
     jax.block_until_ready(states.logL)
+    it += thin
 
     t0 = time.time()
     for _ in range(nseg):
-        states = runb(states)
+        states = run_segment(states, it)
+        it += thin
     jax.block_until_ready(states.logL)
     dt = time.time() - t0
 
