@@ -170,8 +170,7 @@ class MCMC_Optimizer(object):
             # calls are enqueued asynchronously and synced once
             moves = self.sampler.moves_for(it_global, step)
             for m in moves:
-                states = step_fn(states,
-                                 jnp.asarray(int(m), jnp.int32))
+                states = step_fn(states, int(m))
             jax.block_until_ready(states.logL)
             dt_seg = time.time() - t_seg
             it_done += step

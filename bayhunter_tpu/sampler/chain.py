@@ -623,8 +623,12 @@ def build_sampler(eval_fn, cfg):
 
         return lax.scan(chunk, states, None, length=n_snap)
 
-    @jax.jit
+    @partial(jax.jit, static_argnums=(1,))
     def step_fn(states, move_id):
+        """One batched iteration.  ``move_id`` is STATIC: each move
+        type compiles to a specialized program containing only its
+        own branch (a noise step contains no forward solvers at all),
+        eliminating runtime conditionals entirely."""
         st2, _ = iterate_batch(states, move_id)
         return st2
 

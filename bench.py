@@ -74,7 +74,7 @@ def main():
 
     def run_segment(s, it0):
         for m in sampler.moves_for(it0, thin):
-            s = step_fn(s, jnp.asarray(int(m), jnp.int32))
+            s = step_fn(s, int(m))
         return s
 
     # warm-up (compile + first segment)
