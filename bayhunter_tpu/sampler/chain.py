@@ -331,9 +331,18 @@ def build_sampler(eval_fn, cfg):
                                     _valid_noise(noise_p),
                                     _valid_vpvs(vpvs_p)))
 
+        # dimension moves shift roots far more than perturbations —
+        # widen the warm ring when the (static) move id says so
+        if isinstance(move_id, int) and move_id in (MOVE_BIRTH,
+                                                    MOVE_DEATH):
+            ring_width = 24
+        else:
+            ring_width = 16
+
         def fwd_full(_):
             return eval_fn.eval_full(vs_p, z_p, n_p, vpvs_p, noise_p,
-                                     state.cache, state.cell)
+                                     state.cache, state.cell,
+                                     ring_width=ring_width)
 
         def fwd_noise(_):
             logL_n, fvalid_n = eval_fn.eval_noise(noise_p, state.cache,

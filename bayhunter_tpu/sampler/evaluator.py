@@ -181,7 +181,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         return lk.loglike_gauss(ydiff_safe, sigma, spec.corr_inv,
                                 spec.logcorr_det)
 
-    def _forward(spec, h, vp, vs_l, rho, c_prev):
+    def _forward(spec, h, vp, vs_l, rho, c_prev, ring_width):
         """One target's synthetic data; returns (y, tvalid, roots)."""
         if spec.kind == 'custom':
             y = spec.jax_forward(h, vp, vs_l, rho)
@@ -191,7 +191,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
             cg, err, roots = surfdisp_roots(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, igr=spec.igr, mode=spec.mode,
-                iflsph=spec.flsph)
+                iflsph=spec.flsph, warm_halfwidth=ring_width)
             if spec.interp_x is not None:
                 y = jnp.interp(spec.interp_x, spec.periods, cg)
             else:
@@ -210,7 +210,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         y = rf_t[:spec.ndata]
         return y, jnp.all(jnp.isfinite(y)), jnp.zeros((0,), dtype)
 
-    def _eval(vs, z, n, vpvs, noise, cache, cell):
+    def _eval(vs, z, n, vpvs, noise, cache, cell, ring_width=16):
         h, vp, vs_l, rho = voronoi_to_layers(vs, z, n, vpvs,
                                              mantle=mantle)
         logL = jnp.zeros((), dtype)
@@ -221,7 +221,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         for i, spec in enumerate(specs):
             c_prev = cache[i][1] if cache is not None \
                 and spec.kind == 'swd' else None
-            y, tvalid, roots = _forward(spec, h, vp, vs_l, rho, c_prev)
+            y, tvalid, roots = _forward(spec, h, vp, vs_l, rho,
+                                        c_prev, ring_width)
             new_cache.append((y, roots))
 
             ydiff = jnp.where(tvalid, y - spec.yobs_for(cell), 0.0)
@@ -236,8 +237,13 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         misfits = jnp.where(valid, misfits, MISFIT_SENTINEL)
         return logL, misfits.astype(dtype), valid, tuple(new_cache)
 
-    def eval_full(vs, z, n, vpvs, noise, cache, cell=0):
-        return _eval(vs, z, n, vpvs, noise, cache, cell)
+    def eval_full(vs, z, n, vpvs, noise, cache, cell=0,
+                  ring_width=16):
+        """``ring_width`` (static) sets the warm-search ring size —
+        dimension moves shift dispersion roots much further than
+        perturbation moves, so the sampler passes a wider ring for
+        birth/death steps."""
+        return _eval(vs, z, n, vpvs, noise, cache, cell, ring_width)
 
     def eval_cold(vs, z, n, vpvs, noise, cell=0):
         return _eval(vs, z, n, vpvs, noise, None, cell)
