@@ -110,7 +110,7 @@ def test_prior_only_sampling_recovers_prior():
 
     class FlatEval(object):
         eval_full = staticmethod(
-            lambda vs, z, n, vpvs, noise, cache, cell=0:
+            lambda vs, z, n, vpvs, noise, cache, cell=0, ring_width=16:
             (jnp.zeros((), DTYPE), jnp.zeros((2,), DTYPE),
              jnp.asarray(True), cache))
         eval_cold = staticmethod(
