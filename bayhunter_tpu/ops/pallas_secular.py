@@ -202,18 +202,31 @@ def dltar4_pallas(wvno, omega, d, a, b, rho, interpret=False):
     """
     C, L = wvno.shape
     nl = d.shape[-1]
-    grid = (pl.cdiv(C, C_TILE),)
+
+    # pad the chain axis to the tile multiple (partial blocks fail to
+    # compile); padded rows replicate row 0 and are sliced away
+    Cp = -(-C // C_TILE) * C_TILE
+    if Cp != C:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (Cp - C,) + x.shape[1:])],
+                axis=0)
+        wvno, omega, d, a, b, rho = (padc(x) for x in
+                                     (wvno, omega, d, a, b, rho))
+
+    grid = (Cp // C_TILE,)
 
     def spec(width):
         return pl.BlockSpec((C_TILE, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_dltar4_kernel, nl),
-        out_shape=jax.ShapeDtypeStruct((C, L), wvno.dtype),
+        out_shape=jax.ShapeDtypeStruct((Cp, L), wvno.dtype),
         grid=grid,
         in_specs=[spec(L), spec(L), spec(nl), spec(nl), spec(nl),
                   spec(nl)],
         out_specs=spec(L),
         interpret=interpret,
     )(wvno, omega, d, a, b, rho)
+    return out[:C]

@@ -493,6 +493,209 @@ def _ksection_refine(omega, lo, secular, KR, niter, dtype):
 
 
 # --------------------------------------------------------------------------
+# batch-first driver (chains as a native leading axis)
+#
+# The vmap-per-chain path maps each chain to a (1, L) pallas grid
+# block, wasting 7/8 of the VPU sublanes; here the whole chain batch
+# reaches the pallas secular kernel as (C, L) tiles.  Used by the
+# sampler's hot path for Rayleigh f32 solves (the dominant cost is
+# the ring walk on birth/death moves).
+# --------------------------------------------------------------------------
+
+def _find_brackets_b(omega, cm, betmx, secular, mode, K, nblocks,
+                     dtype, found0=None, lo0=None):
+    """Batched :func:`_find_brackets`: omega (C, R), cm/betmx (C, 1);
+    ``secular`` maps (C, R[, K]) wvno/omega to same-shape values."""
+    P = omega.shape
+    dc = jnp.asarray(DDC, dtype)
+    koff = (jnp.arange(1, K + 1, dtype=dtype)) * dc  # (K,)
+
+    sign0 = secular(omega / cm, omega) > 0           # (C, R)
+
+    def cond(st):
+        j, _, _, found, _ = st
+        base = cm + (j * K) * dc                     # (C, 1)
+        dead = base > betmx + dc
+        return (j < nblocks) & jnp.logical_not(jnp.all(found | dead))
+
+    def body(st):
+        j, prev_sign, cnt, found, lo = st
+        base = cm + (j * K) * dc                     # (C, 1)
+        c = base[..., None] + koff                   # (C, 1, K)
+        valid = c <= betmx[..., None] + dc           # (C, 1, K)
+        sg = secular(omega[..., None] / c, omega[..., None]) > 0
+        allsg = jnp.concatenate(
+            [prev_sign[..., None], sg], axis=-1)
+        flips = (allsg[..., 1:] != allsg[..., :-1]) & valid
+        cum = cnt[..., None] + jnp.cumsum(flips, axis=-1,
+                                          dtype=jnp.int32)
+        hit = (cum == mode) & flips                  # (C, R, K)
+        has_hit = jnp.any(hit, axis=-1)
+        idx = jnp.argmax(hit, axis=-1)               # (C, R)
+        lo_new = base + idx * dc
+        newly = has_hit & jnp.logical_not(found)
+        lo = jnp.where(newly, lo_new, lo)
+        found = found | newly
+        cnt = cum[..., -1]
+        return (j + 1, sg[..., -1], cnt, found, lo)
+
+    if found0 is None:
+        found0 = jnp.zeros(P, bool)
+        lo0 = jnp.broadcast_to(cm, P).astype(dtype)
+    st0 = (jnp.asarray(0), sign0, jnp.zeros(P, jnp.int32), found0,
+           jnp.broadcast_to(lo0, P))
+    _, _, _, found, lo = lax.while_loop(cond, body, st0)
+    return lo, found
+
+
+def _ring_brackets_b(omega, c_prev, cm, betmx, secular, K, max_trips,
+                     dtype):
+    """Batched :func:`_ring_brackets`: omega/c_prev (C, R),
+    cm/betmx (C, 1)."""
+    P = omega.shape
+    dc = jnp.asarray(DDC, dtype)
+    ksteps = jnp.arange(1, K + 1, dtype=dtype) * dc   # (K,)
+
+    s0 = secular(omega / c_prev, omega) > 0
+
+    def cond(st):
+        t, _, _, found, dead, _ = st
+        return (t < max_trips) & jnp.logical_not(jnp.all(found | dead))
+
+    def body(st):
+        t, sL, sR, found, dead, lo = st
+        base = (t * K) * dc
+        ptsR = c_prev[..., None] + base + ksteps      # (C, R, K)
+        ptsL = c_prev[..., None] - base - ksteps
+
+        validR = ptsR <= betmx[..., None] + dc
+        validL = ptsL >= cm[..., None]
+        pts = jnp.concatenate([ptsR, ptsL], axis=-1)
+        sg = secular(omega[..., None] / pts, omega[..., None]) > 0
+        sgR, sgL = sg[..., :K], sg[..., K:]
+
+        allR = jnp.concatenate([sR[..., None], sgR], axis=-1)
+        flipR = (allR[..., 1:] != allR[..., :-1]) & validR
+        allL = jnp.concatenate([sL[..., None], sgL], axis=-1)
+        flipL = (allL[..., 1:] != allL[..., :-1]) & validL
+
+        jR = jnp.argmax(flipR, axis=-1)
+        jL = jnp.argmax(flipL, axis=-1)
+        hasR = jnp.any(flipR, axis=-1)
+        hasL = jnp.any(flipL, axis=-1)
+        loR = jnp.take_along_axis(ptsR, jR[..., None],
+                                  axis=-1)[..., 0] - dc
+        loL = jnp.take_along_axis(ptsL, jL[..., None], axis=-1)[..., 0]
+        useL = hasL & (jnp.logical_not(hasR) | (jL < jR))
+        lo_new = jnp.where(useL, loL, loR)
+        newly = (hasR | hasL) & jnp.logical_not(found)
+        lo = jnp.where(newly, lo_new, lo)
+        found = found | newly
+
+        dead = dead | (jnp.logical_not(validR[..., 0])
+                       & jnp.logical_not(validL[..., 0]))
+        sR = jnp.where(validR[..., -1], sgR[..., -1], sR)
+        sL = jnp.where(validL[..., -1], sgL[..., -1], sL)
+        return (t + 1, sL, sR, found, dead, lo)
+
+    st0 = (jnp.asarray(0), s0, s0, jnp.zeros(P, bool),
+           jnp.zeros(P, bool),
+           jnp.broadcast_to(cm, P).astype(dtype))
+    _, _, _, found, _, lo = lax.while_loop(cond, body, st0)
+    return lo, found
+
+
+def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
+                         iwave=2, mode=1, igr=0, iflsph=0, kblock=64,
+                         nblocks=16, krefine=15, nrefine=None,
+                         warm_halfwidth=16):
+    """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
+    ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R)).
+
+    f32 Rayleigh only (the sampler hot path); the secular function
+    runs in the pallas VMEM kernel with chains tiled 8 per program.
+    """
+    from bayhunter_tpu.ops.pallas_secular import dltar4_pallas
+
+    assert iwave == 2, 'batch-first path is Rayleigh-only'
+    dtype = h.dtype
+    C = h.shape[0]
+    if nrefine is None:
+        nrefine = 4 if dtype == jnp.float64 else 3
+
+    if iflsph == 1:
+        d, a, b, rho_w = jax.vmap(
+            lambda hh, aa, bb, rr: sphere_flatten(hh, aa, bb, rr,
+                                                  iwave))(h, vp, vs,
+                                                          rho)
+    else:
+        d, a, b, rho_w = h, vp, vs, rho
+
+    # per-chain lower bound cm and maximum velocity (C, 1)
+    solid = b > 0.01
+    cand = jnp.where(solid, b, a)
+    jmn = jnp.argmin(cand, axis=-1, keepdims=True)
+    betmn = jnp.take_along_axis(cand, jmn, axis=-1)
+    jsol = jnp.take_along_axis(solid, jmn, axis=-1)
+    betmx = jnp.max(b, axis=-1, keepdims=True)
+    a_mn = jnp.take_along_axis(a, jmn, axis=-1)
+    b_mn = jnp.take_along_axis(b, jmn, axis=-1)
+    cc1 = jnp.where(jsol, gtsolh(a_mn, b_mn), betmn)
+    cm = (0.95 * 0.90 * cc1).astype(dtype)            # (C, 1)
+
+    def secular(wvno, omega):
+        shape = wvno.shape                            # (C, ...)
+        n0 = int(np.prod(shape[1:]))
+        L = max(128, -(-n0 // 128) * 128)
+        wv = jnp.reshape(
+            jnp.broadcast_to(wvno, shape), (C, n0))
+        om = jnp.reshape(jnp.broadcast_to(omega, shape), (C, n0))
+        if L != n0:
+            pad = L - n0
+            wv = jnp.concatenate(
+                [wv, jnp.broadcast_to(wv[:, :1], (C, pad))], axis=1)
+            om = jnp.concatenate(
+                [om, jnp.broadcast_to(om[:, :1], (C, pad))], axis=1)
+        vals = dltar4_pallas(wv, om, d, a, b, rho_w)
+        return vals[:, :n0].reshape(shape)
+
+    t = periods.astype(dtype)
+    if igr > 0:
+        t1a = t / (1.0 + HGR)
+        t1b = t / (1.0 - HGR)
+        omegas = jnp.broadcast_to(
+            TWOPI / jnp.concatenate([t1a, t1b]),
+            (C, 2 * t.shape[0]))
+    else:
+        omegas = jnp.broadcast_to(TWOPI / t, (C, t.shape[0]))
+
+    if c_prev is not None:
+        cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
+        trips = max(1, (kblock * nblocks) // warm_halfwidth)
+        lo, found = _ring_brackets_b(omegas, cp, cm, betmx, secular,
+                                     warm_halfwidth, trips, dtype)
+    else:
+        lo, found = _find_brackets_b(omegas, cm, betmx, secular, mode,
+                                     kblock, nblocks, dtype)
+    c = _ksection_refine(omegas, lo, secular, krefine, nrefine, dtype)
+
+    nper = t.shape[0]
+    if igr > 0:
+        ca, cb = c[:, :nper], c[:, nper:]
+        ok = found[:, :nper] & found[:, nper:]
+        out = ((1.0 / t1a - 1.0 / t1b)
+               / (1.0 / (t1a * ca) - 1.0 / (t1b * cb)))
+    else:
+        ok = found
+        out = c
+
+    failed_cum = jnp.cumsum(jnp.logical_not(ok), axis=-1) > 0
+    cg = jnp.where(failed_cum, 0.0, out)
+    err = jnp.any(jnp.logical_not(ok), axis=-1)
+    return cg, err, c
+
+
+# --------------------------------------------------------------------------
 # public driver
 # --------------------------------------------------------------------------
 

@@ -68,12 +68,19 @@ class MCMC_Optimizer(object):
         self.iterations = self.iter_phase1 + self.iter_phase2
         self.maxlayers = int(self.priors['layers'][1]) + 1
 
+        # device mesh over the chain axis (needed before the
+        # evaluator: the batch-first pallas path is TPU-only)
+        self.devices = devices if devices is not None else jax.devices()
+        use_batch_swd = (self.devices[0].platform == 'tpu'
+                         and dtype == jnp.float32)
+
         noiserefs = [t.noiseref for t in targets.targets]
         self.cfg = make_config(self.priors, self.initparams, noiserefs,
                                nl=self.maxlayers, dtype=dtype)
         self.eval_fn = build_evaluator(targets, self.priors,
                                        self.initparams, self.maxlayers,
-                                       dtype=dtype)
+                                       dtype=dtype,
+                                       use_batch_swd=use_batch_swd)
         self.sampler = build_sampler(self.eval_fn, self.cfg)
         (self.init_fn, self.iterate_fn, self.run_fn,
          self.snapshot_fn) = (self.sampler.init_fn,
@@ -81,8 +88,6 @@ class MCMC_Optimizer(object):
                               self.sampler.run_fn,
                               self.sampler.snapshot_fn)
 
-        # device mesh over the chain axis
-        self.devices = devices if devices is not None else jax.devices()
         self.mesh = Mesh(np.array(self.devices), ('chains',))
         self.sharding = NamedSharding(self.mesh, P('chains'))
 
@@ -169,8 +174,12 @@ class MCMC_Optimizer(object):
             # (inside a device-side scan they lose branchiness on TPU);
             # calls are enqueued asynchronously and synced once
             moves = self.sampler.moves_for(it_global, step)
-            for m in moves:
+            for i, m in enumerate(moves):
                 states = step_fn(states, int(m))
+                if (i & 15) == 15:
+                    # bound the async dispatch queue (the CPU client
+                    # can crash under deep sharded-execution queues)
+                    jax.block_until_ready(states.logL)
             jax.block_until_ready(states.logL)
             dt_seg = time.time() - t_seg
             it_done += step

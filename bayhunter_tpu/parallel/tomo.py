@@ -45,7 +45,7 @@ class TomoInversion(object):
 
     def __init__(self, x, Y, ref='rdispph', chains_per_cell=32,
                  priors=None, initparams=None, random_seed=None,
-                 dtype=None):
+                 dtype=None, devices=None):
         import jax.numpy as jnp
         dtype = dtype or jnp.float32
         Y = np.atleast_2d(np.asarray(Y, float))
@@ -67,8 +67,9 @@ class TomoInversion(object):
                                        self.initparams, nl, dtype=dtype)
         self.sampler = build_sampler(self.eval_fn, self.cfg)
 
+        self.devices = devices
         self.nchains = self.ncells * self.chains_per_cell
-        self.nchains_padded = pad_chains(self.nchains)
+        self.nchains_padded = pad_chains(self.nchains, devices)
         self.seed = (random_seed if random_seed is not None
                      else np.random.RandomState().randint(2 ** 31))
 
@@ -81,7 +82,7 @@ class TomoInversion(object):
         states = self.sampler.init_states_host(self.seed,
                                                self.nchains_padded,
                                                cells=cells)
-        states = shard_states(states)
+        states = shard_states(states, self.devices)
 
         total = (int(self.initparams['iter_burnin'])
                  + int(self.initparams['iter_main']))

@@ -311,7 +311,16 @@ def build_sampler(eval_fn, cfg):
     # re-score the cached synthetics.
     # ------------------------------------------------------------------
 
-    def iterate(state, move_id):
+    def _ring_width_for(move_id):
+        # dimension moves shift roots far more than perturbations —
+        # widen the warm ring when the (static) move id says so
+        if isinstance(move_id, int) and move_id in (MOVE_BIRTH,
+                                                    MOVE_DEATH):
+            return 24
+        return 16
+
+    def propose(state, move_id):
+        """Draw a proposal (no forward solve); per chain."""
         key, k1, k2, k_u = random.split(state.key, 4)
 
         vs_p, z_p, n_p, noise_p, vpvs_p, dvs2 = lax.switch(
@@ -330,47 +339,32 @@ def build_sampler(eval_fn, cfg):
                           jnp.where(move_id == MOVE_NOISE,
                                     _valid_noise(noise_p),
                                     _valid_vpvs(vpvs_p)))
+        u = jnp.log(random.uniform(k_u, dtype=dtype))
+        return dict(key=key, vs=vs_p, z=z_p, n=n_p, noise=noise_p,
+                    vpvs=vpvs_p, dvs2=dvs2, valid=valid, u=u)
 
-        # dimension moves shift roots far more than perturbations —
-        # widen the warm ring when the (static) move id says so
-        if isinstance(move_id, int) and move_id in (MOVE_BIRTH,
-                                                    MOVE_DEATH):
-            ring_width = 24
-        else:
-            ring_width = 16
-
-        def fwd_full(_):
-            return eval_fn.eval_full(vs_p, z_p, n_p, vpvs_p, noise_p,
-                                     state.cache, state.cell,
-                                     ring_width=ring_width)
-
-        def fwd_noise(_):
-            logL_n, fvalid_n = eval_fn.eval_noise(noise_p, state.cache,
-                                                  state.cell)
-            return logL_n, state.misfits, fvalid_n, state.cache
-
-        logL_p, misfits_p, fvalid, cache_p = lax.cond(
-            move_id == MOVE_NOISE, fwd_noise, fwd_full, None)
-
+    def accept_update(state, move_id, prop, logL_p, misfits_p, fvalid,
+                      cache_p):
+        """Metropolis acceptance + counters + adaptation; per chain."""
         # acceptance probability (src/SingleChain.py:452-487)
         theta = state.propdist[2]
         log_a_birth = jnp.log(theta * jnp.sqrt(2.0 * jnp.pi) / dv)
-        b_term = dvs2 / (2.0 * jnp.square(theta))
+        b_term = prop['dvs2'] / (2.0 * jnp.square(theta))
         alpha = logL_p - state.logL
         alpha = jnp.where(move_id == MOVE_BIRTH,
                           alpha + log_a_birth + b_term, alpha)
         alpha = jnp.where(move_id == MOVE_DEATH,
                           alpha - log_a_birth - b_term, alpha)
 
-        u = jnp.log(random.uniform(k_u, dtype=dtype))
-        accept = (u < alpha) & valid & fvalid
+        accept = (prop['u'] < alpha) & prop['valid'] & fvalid
 
         def sel(new, old):
             return jnp.where(accept, new, old)
 
         paridx = paridx_arr[move_id]
         onehot = (jnp.arange(5) == paridx)
-        proposed = state.proposed + jnp.where(valid, onehot, False)
+        proposed = state.proposed + jnp.where(prop['valid'], onehot,
+                                              False)
         accepted = state.accepted + jnp.where(accept, onehot, False)
 
         # adaptive proposal widths (src/SingleChain.py:425-450,584-587)
@@ -384,13 +378,13 @@ def build_sampler(eval_fn, cfg):
                            jnp.maximum(new_pd, 0.001), new_pd)
         propdist = jnp.where(do_adapt, new_pd, state.propdist)
 
-        new_state = ChainState(
-            key=key,
-            vs=sel(vs_p, state.vs),
-            z=sel(z_p, state.z),
-            n=jnp.where(accept, n_p, state.n),
-            vpvs=sel(vpvs_p, state.vpvs),
-            noise=sel(noise_p, state.noise),
+        return ChainState(
+            key=prop['key'],
+            vs=sel(prop['vs'], state.vs),
+            z=sel(prop['z'], state.z),
+            n=jnp.where(accept, prop['n'], state.n),
+            vpvs=sel(prop['vpvs'], state.vpvs),
+            noise=sel(prop['noise'], state.noise),
             logL=sel(logL_p, state.logL),
             misfits=sel(misfits_p, state.misfits),
             propdist=propdist,
@@ -399,6 +393,28 @@ def build_sampler(eval_fn, cfg):
             iiter=state.iiter + 1,
             cache=jax.tree_util.tree_map(sel, cache_p, state.cache),
             cell=state.cell)
+
+    def iterate(state, move_id):
+        prop = propose(state, move_id)
+        ring_width = _ring_width_for(move_id)
+
+        def fwd_full(_):
+            return eval_fn.eval_full(prop['vs'], prop['z'], prop['n'],
+                                     prop['vpvs'], prop['noise'],
+                                     state.cache, state.cell,
+                                     ring_width=ring_width)
+
+        def fwd_noise(_):
+            logL_n, fvalid_n = eval_fn.eval_noise(prop['noise'],
+                                                  state.cache,
+                                                  state.cell)
+            return logL_n, state.misfits, fvalid_n, state.cache
+
+        logL_p, misfits_p, fvalid, cache_p = lax.cond(
+            move_id == MOVE_NOISE, fwd_noise, fwd_full, None)
+
+        new_state = accept_update(state, move_id, prop, logL_p,
+                                  misfits_p, fvalid, cache_p)
         return new_state, None
 
     # ------------------------------------------------------------------
@@ -637,7 +653,23 @@ def build_sampler(eval_fn, cfg):
         """One batched iteration.  ``move_id`` is STATIC: each move
         type compiles to a specialized program containing only its
         own branch (a noise step contains no forward solvers at all),
-        eliminating runtime conditionals entirely."""
+        eliminating runtime conditionals entirely.
+
+        Model moves use the evaluator's batch-first path when
+        available (the SWD solve then reaches the pallas secular
+        kernel with chains tiled 8 per program instead of 1)."""
+        batch_eval = getattr(eval_fn, 'eval_full_batch', None)
+        if (isinstance(move_id, int) and move_id != MOVE_NOISE
+                and batch_eval is not None):
+            prop = jax.vmap(lambda s: propose(s, move_id))(states)
+            logL_p, misfits_p, fvalid, cache_p = batch_eval(
+                prop['vs'], prop['z'], prop['n'], prop['vpvs'],
+                prop['noise'], states.cache, states.cell,
+                ring_width=_ring_width_for(move_id))
+            return jax.vmap(
+                lambda s, p, l, m, f, c:
+                accept_update(s, move_id, p, l, m, f, c)
+            )(states, prop, logL_p, misfits_p, fvalid, cache_p)
         st2, _ = iterate_batch(states, move_id)
         return st2
 

@@ -22,6 +22,7 @@ import logging
 import typing
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from bayhunter_tpu.ops import likelihood as lk
@@ -52,6 +53,10 @@ class EvalBundle(typing.NamedTuple):
     eval_noise: typing.Callable
     ntargets: int
     specs: list
+    # batch-first variant (chains as a native leading axis) — present
+    # when the SWD solve can use the pallas kernel (f32, TPU devices);
+    # signature mirrors eval_full with (C, ...) arrays
+    eval_full_batch: typing.Callable = None
 
     # old 3-output protocol (cold start), for convenience in tests
     def __call__(self, vs, z, n, vpvs, noise):
@@ -146,7 +151,8 @@ class _TargetSpec:
         return self.yobs[cell] if self.batched_obs else self.yobs
 
 
-def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
+def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
+                    use_batch_swd=False):
     """Return ``eval_fn(vs, z, n, vpvs, noise)`` for one chain model.
 
     ``joint`` is a host JointTarget; ``nl`` the fixed model width
@@ -265,5 +271,71 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32):
         logL = jnp.where(valid, logL, LOGL_SENTINEL)
         return logL, valid
 
+    # ------------------------------------------------------------------
+    # batch-first path: chains as a native (C, ...) leading axis so the
+    # SWD solve reaches the pallas secular kernel with chains tiled 8
+    # per program (the vmapped path maps each chain to a (1, L) block,
+    # wasting 7/8 of the VPU sublanes).  Enabled by use_batch_swd.
+    # ------------------------------------------------------------------
+
+    def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width):
+        """(C, ...) variant of _forward; pallas-backed for Rayleigh."""
+        if spec.kind == 'swd' and spec.iwave == 2:
+            from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+            cg, err, roots = surfdisp_roots_batch(
+                h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
+                mode=spec.mode, igr=spec.igr, iflsph=spec.flsph,
+                warm_halfwidth=ring_width)
+            if spec.interp_x is not None:
+                y = jax.vmap(lambda cc: jnp.interp(
+                    spec.interp_x, spec.periods, cc))(cg)
+            else:
+                y = cg
+            return y, jnp.logical_not(err), roots
+        # everything else: vmap the per-chain forward
+        y, tvalid, roots = jax.vmap(
+            lambda hh, aa, bb, rr, cp: _forward(spec, hh, aa, bb, rr,
+                                                cp, ring_width),
+            in_axes=(0, 0, 0, 0, 0 if spec.kind == 'swd' else None)
+        )(h, vp, vs_l, rho,
+          c_prev if spec.kind == 'swd' else None)
+        return y, tvalid, roots
+
+    def eval_full_batch(vs, z, n, vpvs, noise, cache, cell,
+                        ring_width=16):
+        """Batched eval_full: all arrays carry a leading chain axis."""
+        C = vs.shape[0]
+        h, vp, vs_l, rho = jax.vmap(
+            lambda a, b, c, d: voronoi_to_layers(a, b, c, d,
+                                                 mantle=mantle)
+        )(vs, z, n, vpvs)
+        logL = jnp.zeros((C,), dtype)
+        misfits = []
+        valid = jnp.ones((C,), bool)
+        new_cache = []
+
+        for i, spec in enumerate(specs):
+            c_prev = cache[i][1] if spec.kind == 'swd' else None
+            y, tvalid, roots = _forward_batch(spec, h, vp, vs_l, rho,
+                                              c_prev, ring_width)
+            new_cache.append((y, roots))
+
+            yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \
+                else spec.yobs
+            ydiff = jnp.where(tvalid[:, None], y - yobs, 0.0)
+            misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2, axis=-1)))
+            logL = logL + jax.vmap(
+                lambda yd, c0, s0: _loglike(spec, yd, c0, s0)
+            )(ydiff, noise[:, 2 * i], noise[:, 2 * i + 1])
+            valid = valid & tvalid
+
+        valid = valid & jnp.isfinite(logL)
+        misfits = jnp.stack(misfits + [sum(misfits)], axis=-1)
+        logL = jnp.where(valid, logL, LOGL_SENTINEL)
+        misfits = jnp.where(valid[:, None], misfits, MISFIT_SENTINEL)
+        return logL, misfits.astype(dtype), valid, tuple(new_cache)
+
+    use_batch = bool(use_batch_swd) and dtype == jnp.float32
     return EvalBundle(eval_full, eval_cold, eval_noise, ntargets,
-                      specs)
+                      specs,
+                      eval_full_batch if use_batch else None)

@@ -53,7 +53,9 @@ def build():
                   'iter_burnin': ITERS, 'iter_main': ITERS}
     nl = 21
     cfg = make_config(priors, initparams, ['swd', 'rf'], nl=nl)
-    eval_fn = build_evaluator(joint, priors, initparams, nl)
+    use_batch = jax.devices()[0].platform == 'tpu'
+    eval_fn = build_evaluator(joint, priors, initparams, nl,
+                              use_batch_swd=use_batch)
     return build_sampler(eval_fn, cfg)
 
 

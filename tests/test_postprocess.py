@@ -39,8 +39,9 @@ def mini_opt(tmp_path_factory):
                   'maxmodels': 30, 'savepath': tmp, 'station': 'mini',
                   # keep ONE compiled segment size (fast CI)
                   'segment_seconds': 0.5, 'checkpoint_seconds': 0}
+    import jax
     opt = MCMC_Optimizer(targets, initparams=initparams, priors=priors,
-                         random_seed=9)
+                         random_seed=9, devices=jax.devices('cpu')[:1])
     opt.mp_inversion()
     return tmp, opt
 

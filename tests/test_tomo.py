@@ -28,9 +28,10 @@ def test_tomo_batched_cells_recover_distinct_models():
         Y.append(np.asarray(y) + 0.005 * rs.normal(size=x.size))
     Y = np.stack(Y)
 
+    import jax
     tomo = TomoInversion(x, Y, ref='rdispph', chains_per_cell=8,
                          priors=PRIORS, initparams=INITPARAMS,
-                         random_seed=5)
+                         random_seed=5, devices=jax.devices('cpu')[:2])
     out = tomo.run(segment_iters=150)
 
     assert out['vs_median'].shape == (2, 121)
