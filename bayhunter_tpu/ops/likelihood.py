@@ -69,6 +69,24 @@ def loglike_exp(ydiff, sigma, corr):
     return _assemble(n, logc_det, madist)
 
 
+def loglike_gauss_white(ydiff, sigma, whitener, logcorr_det):
+    """Gaussian correlation law evaluated through the WHITENED factor
+    ``W`` (n, k) with ``C^-1 ≈ W W^T`` (see :func:`gauss_whitener`).
+
+    The quadratic form ``||W^T ydiff||²`` is a sum of squares, so it
+    stays non-negative in float32 — the dense-inverse contraction of
+    :func:`loglike_gauss` can round NEGATIVE for near-fitting
+    residuals under the extreme conditioning of r≈1 Gaussian kernels
+    (condition numbers >1e12), which lets a sampler drive
+    ``-madist/2`` to +infinity by shrinking sigma.
+    """
+    n = ydiff.shape[-1]
+    w = ydiff @ whitener                       # (..., k)
+    madist = jnp.sum(w * w, axis=-1) / (sigma * sigma)
+    logc_det = (2.0 * n) * jnp.log(sigma) + logcorr_det
+    return _assemble(n, logc_det, madist)
+
+
 def loglike_gauss(ydiff, sigma, corr_inv, logcorr_det):
     """Gaussian correlation law r^((i-j)²) with precomputed correlation
     inverse (reference: src/Targets.py:150-173).  ``corr_inv`` is the
@@ -104,6 +122,25 @@ def init_covariance_gauss(corr, size, rcond=None):
         corr_inv = np.linalg.inv(rmatrix)
     _, logdet = np.linalg.slogdet(rmatrix)
     return corr_inv, float(logdet)
+
+
+def gauss_whitener(corr, size, rcond=None):
+    """Whitening factor W (n, k) of the Gaussian correlation matrix:
+    ``C^-1 ≈ W W^T`` with W = U diag(1/sqrt(λ)) over the eigenvalues
+    kept by the reference's rcond pseudo-inverse truncation
+    (reference: src/Targets.py:155-158).  The same subspace as
+    ``np.linalg.pinv(R, rcond)``, but the quadratic form becomes a
+    sum of squares — non-negative by construction in any precision.
+    Returns (W, logdet of the FULL matrix, as the reference uses)."""
+    rmatrix = gauss_correlation_matrix(corr, size)
+    lam, u = np.linalg.eigh(rmatrix)
+    if rcond is not None:
+        keep = lam > rcond * lam.max()
+    else:
+        keep = lam > 0
+    w = u[:, keep] / np.sqrt(lam[keep])
+    _, logdet = np.linalg.slogdet(rmatrix)
+    return w, float(logdet)
 
 
 def exp_correlation_matrix(corr, size):

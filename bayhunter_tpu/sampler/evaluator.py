@@ -137,9 +137,9 @@ class _TargetSpec:
             self.jax_forward = fwd
 
         if self.cov == 'gauss':
-            corr_inv, logdet = lk.init_covariance_gauss(
+            whitener, logdet = lk.gauss_whitener(
                 corr_value, self.ndata, rcond=rcond)
-            self.corr_inv = jnp.asarray(corr_inv, dtype)
+            self.whitener = jnp.asarray(whitener, dtype)
             self.logcorr_det = float(logdet)
         elif self.cov == 'nocorr_scalederr':
             yerr = np.asarray(target.obsdata.yerr, float)
@@ -184,8 +184,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             return lk.loglike_nocorr_scalederr(
                 ydiff_safe, sigma, spec.scaled_err,
                 spec.log_scalederr_sum)
-        return lk.loglike_gauss(ydiff_safe, sigma, spec.corr_inv,
-                                spec.logcorr_det)
+        return lk.loglike_gauss_white(ydiff_safe, sigma,
+                                      spec.whitener, spec.logcorr_det)
 
     def _forward(spec, h, vp, vs_l, rho, c_prev, ring_width):
         """One target's synthetic data; returns (y, tvalid, roots)."""

@@ -90,3 +90,40 @@ def test_batched_shapes():
     sig = jnp.full((16,), 0.01)
     out = lk.loglike_exp(d, sig, jnp.full((16,), 0.3))
     assert out.shape == (16,)
+
+
+def test_gauss_whitener_matches_pinv_and_stays_psd():
+    """The whitened Gaussian law must (a) agree with the dense pinv
+    form in float64 and (b) keep the Mahalanobis term non-negative in
+    float32 even for near-fitting residuals under extreme conditioning
+    (r=0.98, n=201) — the dense contraction can round negative, which
+    lets the sampler blow logL up by shrinking sigma (regression for a
+    bug caught in the tutorial-scale TPU run)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bayhunter_tpu.ops import likelihood as lk
+
+    n, corr, rcond = 201, 0.98, 1e-5
+    rs = np.random.RandomState(0)
+
+    w, logdet_w = lk.gauss_whitener(corr, n, rcond=rcond)
+    corr_inv, logdet_i = lk.init_covariance_gauss(corr, n, rcond=rcond)
+    assert abs(logdet_w - logdet_i) < 1e-6
+
+    # (a) agreement with the dense pinv form in f64
+    d = 0.05 * rs.normal(size=n)
+    q_w = float(np.sum((d @ w) ** 2))
+    q_i = float(d @ corr_inv @ d)
+    np.testing.assert_allclose(q_w, q_i, rtol=1e-8)
+
+    # (b) f32 positivity on many small (near-fit) residuals
+    w32 = jnp.asarray(w, jnp.float32)
+    for trial in range(50):
+        d32 = jnp.asarray(1e-3 * rs.normal(size=n), jnp.float32)
+        q32 = float(jnp.sum((d32 @ w32) ** 2))
+        assert q32 >= 0.0
+        logL = float(lk.loglike_gauss_white(d32, jnp.float32(1e-5),
+                                            w32, logdet_w))
+        # bounded above by the sigma->0 limit of a zero residual
+        assert logL < -0.5 * (n * lk.LOG2PI
+                              + 2 * n * np.log(1e-5) + logdet_w) + 1.0
