@@ -8,10 +8,11 @@ API-compatible with the reference ``MCMC_Optimizer``
     single XLA program, sharded across all visible devices with
     ``jax.sharding`` (chains are independent — the compiler inserts no
     collectives; scaling is embarrassingly parallel over ICI),
-  * the sequential per-chain loop becomes segments of a jitted
-    ``lax.scan`` (sampler/chain.py); between segments the host logs
-    progress, optionally publishes BayWatch telemetry over the
-    reference's ZMQ wire format, and can checkpoint,
+  * the sequential per-chain loop becomes host-dispatched batched
+    steps (sampler/chain.py step_fn — one specialized program per
+    move type); between sync segments the host logs progress,
+    optionally publishes BayWatch telemetry over the reference's ZMQ
+    wire format, and checkpoints,
   * results are written in the reference's on-disk contract:
     ``c%03d_p{1,2}{models,likes,misfits,noise,vpvs}.npy`` per chain
     plus the ``<station>_config.pkl`` pickle
@@ -101,9 +102,6 @@ class MCMC_Optimizer(object):
         logger.info('> %d chain(s) are initiated on %d device(s)...'
                     % (self.nchains, ndev))
 
-        # run_fn is already batched (iterations outer scan, chains
-        # inner vmap) and jitted with static (n_snap, thin)
-        self._run_batch = self.run_fn
 
     # ------------------------------------------------------------------
 
@@ -201,13 +199,24 @@ class MCMC_Optimizer(object):
                 snap = parts[-1] if parts else self._snapshot_host(states)
                 logL = snap['logL'][:self.nchains]
                 misf = snap['misfits'][:self.nchains, -1]
+                # layer count + acceptance rate, like the reference's
+                # per-5000 progress line (src/SingleChain.py:570-582)
+                nlay = np.isfinite(
+                    snap['model'][:self.nchains, :self.maxlayers]
+                ).sum(axis=1)
+                acc, prop = jax.device_get((states.accepted,
+                                            states.proposed))
+                acc_rate = 100.0 * acc[:self.nchains].sum() \
+                    / max(prop[:self.nchains].sum(), 1)
                 runtime = time.time() - (t0 or time.time())
                 logger.info(
-                    '%s %7d/%d it | logL med %9.1f | joint misfit med '
-                    '%8.3f | %6.1f s' % (label, it_done, total,
-                                         float(np.median(logL)),
-                                         float(np.median(misf)),
-                                         runtime))
+                    '%s %7d/%d it | %4.1f lay | logL med %9.1f | '
+                    'joint misfit med %8.3f | %4.1f%% acc | %6.1f s '
+                    '| %6.0f prop/s'
+                    % (label, it_done, total, float(np.median(nlay)),
+                       float(np.median(logL)), float(np.median(misf)),
+                       acc_rate, runtime,
+                       self.nchains * step / max(dt_seg, 1e-9)))
             if baywatch_pub is not None \
                     and time.time() - last_send > dtsend:
                 self._publish(baywatch_pub,
