@@ -75,14 +75,13 @@ class Valuation(object):
     the Bayesian inversion; RMS misfit is for progress display."""
 
     def __init__(self):
-        self.corr_inv = None
-        self.logcorr_det = None
-        self.misfit = None
-        self.likelihood = None
+        self.corr_inv, self.logcorr_det = None, None
+        self.misfit, self.likelihood = None, None
 
     @staticmethod
     def get_rms(yobs, ymod):
-        return np.sqrt(np.mean((ymod - yobs) ** 2))
+        resid = np.asarray(ymod) - np.asarray(yobs)
+        return float(np.sqrt(resid.dot(resid) / resid.size))
 
     @staticmethod
     def get_covariance_nocorr(sigma, size, yerr=None, corr=0):
@@ -99,10 +98,14 @@ class Valuation(object):
 
     @staticmethod
     def get_corr_inv(corr, size):
-        d = np.ones(size) + corr ** 2
-        d[0] = d[-1] = 1
-        e = np.ones(size - 1) * -corr
-        return np.diag(d) + np.diag(e, k=1) + np.diag(e, k=-1)
+        # analytic tridiagonal inverse of the exponential law
+        cinv = np.zeros((size, size))
+        inner = np.arange(1, size - 1)
+        cinv[0, 0] = cinv[-1, -1] = 1.0
+        cinv[inner, inner] = 1.0 + corr ** 2
+        off = np.arange(size - 1)
+        cinv[off, off + 1] = cinv[off + 1, off] = -corr
+        return cinv
 
     def get_covariance_exp(self, corr, sigma, size, yerr=None):
         c_inv = self.get_corr_inv(corr, size) \
@@ -125,10 +128,10 @@ class Valuation(object):
 
     @staticmethod
     def get_likelihood(yobs, ymod, c_inv, logc_det):
-        ydiff = ymod - yobs
-        madist = (ydiff.T).dot(c_inv).dot(ydiff)
-        logL_part = -0.5 * (yobs.size * np.log(2 * np.pi) + logc_det)
-        return logL_part - madist / 2.
+        resid = np.asarray(ymod) - np.asarray(yobs)
+        mahalanobis = resid @ c_inv @ resid
+        n = np.size(yobs)
+        return -0.5 * (n * np.log(2 * np.pi) + logc_det + mahalanobis)
 
 
 class SingleTarget(object):
@@ -147,15 +150,11 @@ class SingleTarget(object):
         self.moddata.update(plugin)
 
     def _moddata_valid(self):
-        if not isinstance(self.moddata.x, np.ndarray):
-            return False
-        if not len(self.obsdata.x) == len(self.moddata.x):
-            return False
-        if not np.sum(self.obsdata.x - self.moddata.x) <= 1e-5:
-            return False
-        if not len(self.obsdata.y) == len(self.moddata.y):
-            return False
-        return True
+        obs, mod = self.obsdata, self.moddata
+        return (isinstance(mod.x, np.ndarray)
+                and len(obs.x) == len(mod.x)
+                and len(obs.y) == len(mod.y)
+                and np.sum(obs.x - mod.x) <= 1e-5)
 
     def calc_misfit(self):
         if not self._moddata_valid():
