@@ -608,7 +608,7 @@ def _ring_brackets_b(omega, c_prev, cm, betmx, secular, K, max_trips,
 def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          iwave=2, mode=1, igr=0, iflsph=0, kblock=64,
                          nblocks=16, krefine=15, nrefine=None,
-                         warm_halfwidth=16):
+                         warm_halfwidth=16, interpret=False):
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
     ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R)).
 
@@ -656,7 +656,8 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                 [wv, jnp.broadcast_to(wv[:, :1], (C, pad))], axis=1)
             om = jnp.concatenate(
                 [om, jnp.broadcast_to(om[:, :1], (C, pad))], axis=1)
-        vals = dltar4_pallas(wv, om, d, a, b, rho_w)
+        vals = dltar4_pallas(wv, om, d, a, b, rho_w,
+                             interpret=interpret)
         return vals[:, :n0].reshape(shape)
 
     t = periods.astype(dtype)

@@ -71,3 +71,43 @@ def test_pallas_secular_water_layer():
                  jnp.asarray(rho, jnp.float32), jnp.asarray(True))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_batch_solver_matches_vmap_interpret():
+    """surfdisp_roots_batch (pallas, interpret mode on CPU) must agree
+    with the vmapped per-chain solver, cold and warm."""
+    import jax
+    from bayhunter_tpu.ops.swd import (surfdisp_roots,
+                                       surfdisp_roots_batch)
+    rs = np.random.RandomState(2)
+    NL, C = 9, 5  # deliberately NOT a multiple of the 8-chain tile
+    per = jnp.asarray(np.linspace(2, 35, 11), jnp.float32)
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 5)
+        z = np.sort(rs.uniform(2, 50, nlay))
+        v = np.sort(rs.uniform(2.3, 4.5, nlay))
+        H[i, :nlay - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :nlay] = v
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    args = [jnp.asarray(x) for x in (H, VP, VS, RHO)]
+
+    cg_v, err_v, roots = jax.vmap(
+        lambda a, b, c, d: surfdisp_roots(a, b, c, d, per))(*args)
+    cg_b, err_b, _ = surfdisp_roots_batch(*args, per, interpret=True)
+    np.testing.assert_allclose(np.asarray(cg_b), np.asarray(cg_v),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(err_b), np.asarray(err_v))
+
+    # warm path with perturbed roots
+    rp = roots + 0.01
+    w_v = jax.vmap(lambda a, b, c, d, cp: surfdisp_roots(
+        a, b, c, d, per, c_prev=cp)[0])(*args, rp)
+    w_b = surfdisp_roots_batch(*args, per, c_prev=rp,
+                               interpret=True)[0]
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_v),
+                               atol=2e-5)
