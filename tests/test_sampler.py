@@ -161,3 +161,38 @@ def test_eval_noise_matches_eval_cold(sampler):
     assert bool(valid)
     np.testing.assert_allclose(float(logL_fast), float(logL_full),
                                rtol=1e-12)
+
+
+def test_all_six_targets_joint():
+    """Every concrete target type in ONE joint inversion: 4 SWD
+    (Rayleigh/Love x phase/group) + P and S receiver functions."""
+    h = np.array([8., 25., 0.])
+    vs = np.array([2.9, 3.6, 4.4])
+    swd = SynthObs.return_swddata(h, vs, vpvs=1.73,
+                                  x=np.linspace(3, 35, 9))
+    rf = SynthObs.return_rfdata(h, vs, vpvs=1.73,
+                                x=np.linspace(-5, 15, 81))
+    targets = [
+        Targets.RayleighDispersionPhase(*map(np.asarray,
+                                             swd['rdispph'])),
+        Targets.RayleighDispersionGroup(*map(np.asarray,
+                                             swd['rdispgr'])),
+        Targets.LoveDispersionPhase(*map(np.asarray, swd['ldispph'])),
+        Targets.LoveDispersionGroup(*map(np.asarray, swd['ldispgr'])),
+        Targets.PReceiverFunction(*map(np.asarray, rf['prf'])),
+        Targets.SReceiverFunction(*map(np.asarray, rf['srf'])),
+    ]
+    joint = Targets.JointTarget(targets=targets)
+    noiserefs = [t.noiseref for t in targets]
+    priors = dict(PRIORS)
+    initparams = dict(INITPARAMS, iter_burnin=60, iter_main=40)
+    cfg = make_config(priors, initparams, noiserefs, nl=NL, dtype=DTYPE)
+    ev = build_evaluator(joint, priors, initparams, NL, dtype=DTYPE)
+    smp = build_sampler(ev, cfg)
+
+    states = smp.init_states_host(3, 4)
+    assert np.all(np.isfinite(np.asarray(states.logL)))
+    assert np.asarray(states.misfits).shape == (4, 7)  # 6 targets+joint
+    states, _ = smp.run_fn(states, 2, 50)
+    logL = np.asarray(states.logL)
+    assert np.all(np.isfinite(logL)) and np.all(logL > -1e14)
