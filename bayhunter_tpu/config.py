@@ -49,7 +49,8 @@ def load_params(initfile):
     Reference: src/utils.py:58-68.  Sections named ``datapaths`` are
     skipped (they belong to the station-path loader).
     """
-    cp = configparser.ConfigParser(inline_comment_prefixes=('#', ';'))
+    cp = configparser.ConfigParser(inline_comment_prefixes=('#', ';'),
+                                   interpolation=None)
     cp.optionxform = str  # preserve key case
     read = cp.read(initfile)
     if not read:
@@ -70,7 +71,8 @@ def load_params_user(initfile, station, slowness=7):
     ``#``-comment on line 2.
     """
     import linecache
-    cp = configparser.ConfigParser(inline_comment_prefixes=(';',))
+    cp = configparser.ConfigParser(inline_comment_prefixes=(';',),
+                                   interpolation=None)
     cp.optionxform = str
     if not cp.read(initfile):
         raise OSError('could not read config file: %s' % initfile)

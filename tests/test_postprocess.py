@@ -151,3 +151,49 @@ def test_save_read_config_pickle(tmp_path, mini_run):
     assert back['priors']['vs'] == (2, 5)
     assert len(back['targets']) == 1
     assert back['targets'][0].ref == 'rdispph'
+
+
+def test_load_params_user_station_workflow(tmp_path):
+    """Station-oriented config loader with a [datapaths] section
+    (reference: src/utils.py:71-99): path templating by station,
+    RF slowness read from the data-file comment."""
+    obs = tmp_path / 'observed'
+    obs.mkdir()
+    (obs / 'ST01_rdispph.dat').write_text('10.0 3.1\n20.0 3.5\n')
+    (obs / 'ST01_prf_7.dat').write_text(
+        'timeaxis rfdata\n# 6.40\n-5.0 0.0\n0.0 0.5\n')
+    ini = tmp_path / 'station.ini'
+    ini.write_text("""[datapaths]
+swd_rdispph = %s/%%s_rdispph.dat
+rf_prf.bin = %s/%%s_prf_%%d.dat
+
+[modelpriors]
+vs = 2, 5
+z = 0, 60
+layers = 1, 10
+vpvs = 1.73
+swdnoise_corr = 0.
+swdnoise_sigma = 1e-5, 0.05
+rfnoise_corr = 0.9
+rfnoise_sigma = 1e-5, 0.05
+
+[initparams]
+nchains = 2
+iter_burnin = 10
+iter_main = 10
+propdist = 0.015, 0.015, 0.015, 0.005, 0.005
+acceptance = 40, 45
+thickmin = 0.1
+rcond = 1e-5
+station = 'x'
+savepath = 'results_%%s_%%s'
+maxmodels = 10
+""" % (obs, obs))
+
+    paths, priors, initparams = utils.load_params_user(str(ini), 'ST01',
+                                                       slowness=7)
+    assert paths['rdispph'].endswith('ST01_rdispph.dat')
+    assert paths['prf.bin'].endswith('ST01_prf_7.dat')
+    assert paths['slowness.bin'] == 6.40
+    assert initparams['station'] == 'ST01'
+    assert priors['layers'] == (1, 10)
