@@ -96,11 +96,10 @@ class SynthObs():
         if '%s' not in outfile:
             name, ext = os.path.splitext(outfile)
             outfile = name + '_%s' + ext
-        for ref in data.keys():
-            x, y = data[ref]
-            with open(outfile % ref, 'w') as f:
-                for i in range(len(x)):
-                    f.write('%.4f\t%.4f\n' % (x[i], y[i]))
+        for ref, (x, y) in data.items():
+            np.savetxt(outfile % ref,
+                       np.column_stack([np.asarray(x), np.asarray(y)]),
+                       fmt='%.4f', delimiter='\t')
             logger.info('Data file saved: %s' % (outfile % ref))
 
     @staticmethod
