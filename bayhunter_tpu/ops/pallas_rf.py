@@ -1,0 +1,364 @@
+"""Pallas TPU kernel for the reflectivity transmission response.
+
+Computes the per-frequency (cz, cr) plane-wave responses of
+ops/rf.py:_transmission_response — the hot loop of the receiver-
+function forward model — with the whole layer recursion resident in
+VMEM.  Complex arithmetic is carried as explicit (re, im) float pairs;
+the chain batch is tiled 8 rows per program with the frequency axis on
+the 128-wide lanes.
+
+Deconvolution, Z/R->P/SV decomposition and the inverse FFT stay in XLA
+(ops/rf.py) — they are cheap and fuse well.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_TILE = 8
+
+
+# ----------------------------------------------------------------------
+# complex helpers on (re, im) pairs
+# ----------------------------------------------------------------------
+
+def _cmul(a, b):
+    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+
+def _cadd(a, b):
+    return (a[0] + b[0], a[1] + b[1])
+
+
+def _csub(a, b):
+    return (a[0] - b[0], a[1] - b[1])
+
+
+def _cscale(s, a):
+    return (s * a[0], s * a[1])
+
+
+def _cinv(a):
+    d = a[0] * a[0] + a[1] * a[1]
+    return (a[0] / d, -a[1] / d)
+
+
+def _cdiv(a, b):
+    return _cmul(a, _cinv(b))
+
+
+def _csqrt(a):
+    """Principal complex square root of an (re, im) pair."""
+    r = jnp.sqrt(a[0] * a[0] + a[1] * a[1])
+    re = jnp.sqrt(jnp.maximum(0.5 * (r + a[0]), 0.0))
+    im_mag = jnp.sqrt(jnp.maximum(0.5 * (r - a[0]), 0.0))
+    im = jnp.where(a[1] < 0.0, -im_mag, im_mag)
+    return (re, im)
+
+
+def _cexp(a):
+    """exp of an (re, im) pair."""
+    m = jnp.exp(a[0])
+    return (m * jnp.cos(a[1]), m * jnp.sin(a[1]))
+
+
+def _csqrt_conj_real(x):
+    """conj(sqrt(complex(x))) for REAL x (interface coefficients use
+    the conjugated branch; ops/rf.py:_csqrt_conj)."""
+    xp = jnp.sqrt(jnp.maximum(x, 0.0))
+    xn = jnp.sqrt(jnp.maximum(-x, 0.0))
+    return (xp, -xn)
+
+
+def _csqrt_plain_real(x):
+    xp = jnp.sqrt(jnp.maximum(x, 0.0))
+    xn = jnp.sqrt(jnp.maximum(-x, 0.0))
+    return (xp, xn)
+
+
+# 2x2 complex matrices as 4-tuples of (re, im) pairs: (m11,m12,m21,m22)
+
+def _m4mul(A, B):
+    a11, a12, a21, a22 = A
+    b11, b12, b21, b22 = B
+    return (_cadd(_cmul(a11, b11), _cmul(a12, b21)),
+            _cadd(_cmul(a11, b12), _cmul(a12, b22)),
+            _cadd(_cmul(a21, b11), _cmul(a22, b21)),
+            _cadd(_cmul(a21, b12), _cmul(a22, b22)))
+
+
+def _m4inv_of_eye_minus(K):
+    """inv(I - K) for a 2x2 complex K."""
+    k11, k12, k21, k22 = K
+    m11 = (1.0 - k11[0], -k11[1])
+    m12 = (-k12[0], -k12[1])
+    m21 = (-k21[0], -k21[1])
+    m22 = (1.0 - k22[0], -k22[1])
+    det = _csub(_cmul(m11, m22), _cmul(m12, m21))
+    idet = _cinv(det)
+    return (_cmul(m22, idet), _cmul((-m12[0], -m12[1]), idet),
+            _cmul((-m21[0], -m21[1]), idet), _cmul(m11, idet))
+
+
+# ----------------------------------------------------------------------
+# interface / surface coefficients (per-chain scalars, (C_TILE, 1))
+# ----------------------------------------------------------------------
+
+def _interface_coeffs(p, vp1, vs1, rho1, vp2, vs2, rho2):
+    """P-SV R/T matrices of a welded interface (ops/rf.py:91-151).
+
+    All inputs are real (C_TILE, 1) arrays; outputs are 2x2 complex
+    matrices as 4-tuples of (re, im) pairs in (m11, m12, m21, m22)
+    order matching ops/rf.py's _mat(rpp, rsp, rps, rss) layout.
+    """
+    def R(x):  # lift a real array to an (re, im) pair
+        return (x, jnp.zeros_like(x))
+
+    mue1 = rho1 * vs1 * vs1
+    mue2 = rho2 * vs2 * vs2
+    c = 2.0 * (mue1 - mue2)
+    u2 = p * p
+    cu2 = c * u2
+    a1 = _csqrt_conj_real(1.0 / (vp1 * vp1) - u2)
+    a2 = _csqrt_conj_real(1.0 / (vp2 * vp2) - u2)
+    b1 = _csqrt_conj_real(1.0 / (vs1 * vs1) - u2)
+    b2 = _csqrt_conj_real(1.0 / (vs2 * vs2) - u2)
+
+    t1 = cu2 - rho1 + rho2
+    t2 = cu2 - rho1
+    t3 = cu2 + rho2
+    t4 = _csub(_cscale(t3, a1), _cscale(t2, a2))
+
+    a1b1 = _cmul(a1, b1)
+    a2b2 = _cmul(a2, b2)
+    a1b2 = _cmul(a1, b2)
+    a2b1 = _cmul(a2, b1)
+    abab = _cmul(a1b1, a2b2)
+    tb = _csub(_cscale(t3, b1), _cscale(t2, b2))  # t3 b1 - t2 b2
+
+    def table(d1, d2, rho_i, aa, bb, cross, mix_a, mix_b, rss_sign):
+        """One R/T table; mirrors the downgoing block of ops/rf.py
+        with (aa, bb) the incident-side slownesses."""
+        t5 = _cinv(_cadd(d1, d2))
+        t7 = _cscale(2.0 * rho_i, t5)
+        rpp = _cmul(_csub(d2, d1), t5)
+        rps_core = _cmul(t5, cross)
+        rpp_like = _cmul(aa, rps_core)
+        rsp_like = _cmul(bb, rps_core)
+        tpp = _cmul(aa, _cmul(t7, tb))
+        tps = _cmul(aa, _cmul(t7, _cadd(R(t1), _cscale(c, mix_a))))
+        rss = _cmul(_csub(_csub(d2, d1),
+                          _cscale(rss_sign * 2.0 * rho1 * rho2,
+                                  _csub(a1b2, a2b1))), t5)
+        tss = _cmul(bb, _cmul(t7, t4))
+        tsp = _cmul(bb, _cmul(t7, _cadd(R(t1), _cscale(c, mix_b))))
+        return rpp, rpp_like, rsp_like, tpp, tps, rss, tss, tsp
+
+    # downgoing incident (table 1): d-terms use the lower medium's
+    # slowness products against the upper medium's
+    d1d = _cadd(_cadd(R(t1 * t1 * u2), _cscale(t2 * t2, a2b2)),
+                _cscale(rho1 * rho2, a2b1))
+    d2d = _cadd(_cadd(_cscale(c * c * u2, abab),
+                      _cscale(t3 * t3, a1b1)),
+                _cscale(rho1 * rho2, a1b2))
+    cross_d = _cadd(R(t1 * t3), _cscale(c * t2, a2b2))
+    (rpp, rps_c, rsp_c, tpp, tps_c, rss, tss,
+     tsp_c) = table(d1d, d2d, rho1, a1, b1, cross_d, a2b1, a1b2, 1.0)
+    rd = (rpp, _cscale(2.0 * p, rsp_c), _cscale(-2.0 * p, rps_c), rss)
+    td = (tpp, _cscale(p, tsp_c), _cscale(-p, tps_c), tss)
+
+    # upgoing incident (table 2): media roles swapped
+    d1u = _cadd(_cadd(R(t1 * t1 * u2), _cscale(t3 * t3, a1b1)),
+                _cscale(rho1 * rho2, a1b2))
+    d2u = _cadd(_cadd(_cscale(c * c * u2, abab),
+                      _cscale(t2 * t2, a2b2)),
+                _cscale(rho1 * rho2, a2b1))
+    cross_u = _cadd(R(t1 * t2), _cscale(c * t3, a1b1))
+    (rpp, rps_c, rsp_c, tpp, tps_c, rss, tss,
+     tsp_c) = table(d1u, d2u, rho2, a2, b2, cross_u, a1b2, a2b1, -1.0)
+    ru = (rpp, _cscale(-2.0 * p, rsp_c), _cscale(2.0 * p, rps_c), rss)
+    tu = (tpp, _cscale(p, tsp_c), _cscale(-p, tps_c), tss)
+    return rd, td, ru, tu
+
+
+def _free_surface(p, vp, vs):
+    """Free-surface reflection for upgoing waves (plain sqrt branch;
+    ops/rf.py:170-189)."""
+    u2 = p * p
+    a = _csqrt_plain_real(1.0 / (vp * vp) - u2)
+    b = _csqrt_plain_real(1.0 / (vs * vs) - u2)
+    t1 = 2.0 * vs * vs
+    t2 = t1 * u2 - 1.0
+    d = _cadd((t2 * t2, jnp.zeros_like(p)),
+              _cscale(t1 * t1 * u2, _cmul(a, b)))
+    t3 = _cdiv((2.0 * t1 * p * t2, jnp.zeros_like(p)), d)
+    rpp = _cdiv(_csub(_cscale(t1 * t1 * u2, _cmul(a, b)),
+                      (t2 * t2, jnp.zeros_like(p))), d)
+    rsp = _cscale(-1.0, _cmul(b, t3))
+    rps = _cmul(a, t3)
+    return (rpp, rsp, rps, rpp)
+
+
+def _displacement(p, vp, vs):
+    """Free-surface displacement matrix (ops/rf.py:192-205)."""
+    vp2 = vp * vp
+    vs2 = vs * vs
+    p2 = p * p
+    x = 1.0 - 2.0 * vs2 * p2
+    a1 = _csqrt_conj_real(1.0 / vp2 - p2)
+    b1 = _csqrt_conj_real(1.0 / vs2 - p2)
+    q = _cinv(_cadd((x * x, jnp.zeros_like(p)),
+                    _cscale(4.0 * vs2 * vs2 * p2, _cmul(a1, b1))))
+    ab = _cmul(a1, b1)
+    return (_cscale(2.0 * vs2, _cmul(q, _cscale(p, ab))),
+            _cscale(x, _cmul(q, b1)),
+            _cscale(x, _cmul(q, a1)),
+            _cscale(-2.0 * vs2, _cmul(q, _cscale(p, ab))))
+
+
+# ----------------------------------------------------------------------
+# the kernel
+# ----------------------------------------------------------------------
+
+def _resp_kernel(nl, nsamp, fsamp, wave_type, fref,
+                 h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
+                 czr_ref, czi_ref, crr_ref, cri_ref):
+    F = czr_ref.shape[-1]
+    nfreq = nsamp // 2 + 1
+    p = p_ref[:, 0:1]                                   # (8, 1)
+
+    # frequency lanes (padded tail clamps to the last real frequency)
+    jf = jax.lax.broadcasted_iota(jnp.float32, (1, F), 1)
+    jf = jnp.minimum(jf, float(nfreq - 1))
+    dw = 2.0 * jnp.pi * fsamp / nsamp
+    w = dw * jf                                         # (1, F)
+    wref = 2.0 * jnp.pi * fref
+    lgw = jnp.where(jf > 0, jnp.log(jnp.maximum(w, 1e-30) / wref), 0.0)
+
+    # direct-wave alignment time (halfspace h = -1 sentinel)
+    t0 = jnp.zeros_like(p)
+    for i in range(nl):
+        v = vp_ref[:, i:i + 1] if wave_type == 0 else vs_ref[:, i:i + 1]
+        qv = jnp.sqrt(jnp.maximum(1.0 / (v * v) - p * p, 0.0))
+        t0 = t0 + (-1.0 if i == nl - 1 else 1.0) \
+            * (1.0 if i == nl - 1 else h_ref[:, i:i + 1]) * qv
+    # (the halfspace contributes -1 * qv exactly as the h=-1 sentinel)
+
+    hmat = _displacement(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
+
+    one = jnp.ones((1, F), jnp.float32)
+    zero = jnp.zeros((1, F), jnp.float32)
+    eye = ((one, zero), (zero, zero), (zero, zero), (one, zero))
+    nb, q, g = eye, eye, eye
+
+    for i in range(nl - 1):
+        vp_l = vp_ref[:, i:i + 1]
+        vs_l = vs_ref[:, i:i + 1]
+        h_l = h_ref[:, i:i + 1]
+        qp_l = qp_ref[:, i:i + 1]
+        qs_l = qs_ref[:, i:i + 1]
+
+        if i == 0:
+            ru = _free_surface(p, vp_l, vs_l)
+        rd_next, td_i, ru_next, tu_next = _interface_coeffs(
+            p, vp_l, vs_l, rho_ref[:, i:i + 1],
+            vp_ref[:, i + 1:i + 2], vs_ref[:, i + 1:i + 2],
+            rho_ref[:, i + 1:i + 2])
+
+        # anelastic phase terms e1/e2 = exp(-i w h q_{p,s})
+        def phase(v, qf):
+            vc = (v * (1.0 + lgw / (jnp.pi * qf)), v * (0.5 / qf))
+            iv2 = _cinv(_cmul(vc, vc))
+            qc = _csqrt((iv2[0] - p * p, iv2[1]))
+            arg = (w * h_l * qc[1], -w * h_l * qc[0])   # -i w h qc
+            return _cexp(arg)
+
+        e1 = phase(vp_l, qp_l)
+        e2 = phase(vs_l, qs_l)
+
+        # nt = ru + td_i nb q (first layer: ru alone)
+        if i == 0:
+            nt = ru
+        else:
+            t = _m4mul(_m4mul(td_i_prev, nb), q)
+            nt = tuple(_cadd(a, b) for a, b in zip(ru, t))
+
+        # nb = e nt e (diagonal phase sandwich)
+        e11 = _cmul(e1, e1)
+        e12 = _cmul(e1, e2)
+        e22 = _cmul(e2, e2)
+        nb = (_cmul(nt[0], e11), _cmul(nt[1], e12),
+              _cmul(nt[2], e12), _cmul(nt[3], e22))
+
+        # q = inv(I - rd_{i+1} nb) tu_{i+1}
+        K = _m4mul(rd_next, nb)
+        q = _m4mul(_m4inv_of_eye_minus(K), tu_next)
+
+        # g = g (e q) (first layer: e q)
+        eq = (_cmul(e1, q[0]), _cmul(e1, q[1]),
+              _cmul(e2, q[2]), _cmul(e2, q[3]))
+        g = eq if i == 0 else _m4mul(g, eq)
+
+        ru = ru_next
+        td_i_prev = td_i
+
+    # t = 2 h g ; pick the column of the incident wave
+    t_full = _m4mul(hmat, g)
+    col = 0 if wave_type == 0 else 1
+    cr = _cscale(2.0, t_full[0 + col])      # row 0
+    cz = _cscale(2.0, t_full[2 + col])      # row 1
+
+    # alignment phase exp(+i w t0)
+    qq = _cexp((jnp.zeros_like(w * t0), w * t0))
+    cz = _cmul(cz, qq)
+    cr = _cmul(cr, qq)
+
+    czr_ref[:] = cz[0]
+    czi_ref[:] = cz[1]
+    crr_ref[:] = cr[0]
+    cri_ref[:] = cr[1]
+
+
+def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
+                                 fsamp, wave_type=0, fref=1.0,
+                                 interpret=False):
+    """Batched (cz, cr) transmission responses.
+
+    h/vp/vs/rho/qp/qs : (C, NL) FLATTENED layer arrays (halfspace last)
+    p                 : (C,) slowness in s/km
+    Returns complex64 (cz, cr) of shape (C, nfreq).
+    """
+    C, nl = h.shape
+    nfreq = nsamp // 2 + 1
+    F = max(128, -(-nfreq // 128) * 128)
+
+    Cp = -(-C // C_TILE) * C_TILE
+    def padc(x):
+        if Cp == C:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (Cp - C,) + x.shape[1:])],
+            axis=0)
+
+    args = [padc(jnp.asarray(x, jnp.float32))
+            for x in (h, vp, vs, rho, qp, qs)]
+    args.append(padc(jnp.asarray(p, jnp.float32)[:, None]))
+
+    def spec(width):
+        return pl.BlockSpec((C_TILE, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
+                          int(wave_type), float(fref)),
+        out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
+        grid=(Cp // C_TILE,),
+        in_specs=[spec(nl)] * 6 + [spec(1)],
+        out_specs=[spec(F)] * 4,
+        interpret=interpret,
+    )(*args)
+    czr, czi, crr, cri = (o[:C, :nfreq] for o in outs)
+    return czr + 1j * czi, crr + 1j * cri

@@ -458,3 +458,37 @@ def synrf(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp, tshift,
     fr = jnp.fft.irfft(crq, nsamp).astype(rdtype)
     fz = jnp.fft.irfft(czq, nsamp).astype(rdtype)
     return fz, fr, rf
+
+
+def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
+                tshift, nsv, poisson, wave_type=P_WAVE, fref=1.0,
+                flattening=True, interpret=False):
+    """Batched RF synthesis through the pallas transmission-response
+    kernel (ops/pallas_rf.py): layer arrays (C, NL), ``nsv``/``poisson``
+    per chain; returns rf (C, nsamp).
+
+    Deconvolution and the inverse FFT stay in XLA — only the layer
+    recursion (the hot loop) runs in VMEM."""
+    from bayhunter_tpu.ops.pallas_rf import transmission_response_pallas
+
+    rdtype = h.dtype
+    cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
+    C = h.shape[0]
+    slowness = jnp.asarray(p_sdeg * DEG_PER_KM, rdtype)
+    nsv = jnp.broadcast_to(jnp.asarray(nsv, rdtype), (C,))
+    poisson = jnp.broadcast_to(jnp.asarray(poisson, rdtype), (C,))
+    vp_top = nsv * jnp.sqrt((1.0 - poisson) / (0.5 - poisson))
+
+    if flattening:
+        h, vp, vs, rho = jax.vmap(flatten_model)(h, vp, vs, rho)
+
+    cz, cr = transmission_response_pallas(
+        h, vp, vs, rho, qp, qs,
+        jnp.broadcast_to(slowness, (C,)), nsamp, fsamp,
+        wave_type=wave_type, fref=fref, interpret=interpret)
+
+    crf, _, _ = jax.vmap(
+        lambda z, r, vpt, vst: _deconvolve(
+            z, r, wave_type, nsamp, fsamp, tshift, gauss_a, slowness,
+            vpt, vst, cdtype))(cz, cr, vp_top, nsv)
+    return jnp.fft.irfft(crf, nsamp, axis=-1).astype(rdtype)

@@ -279,7 +279,24 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     # ------------------------------------------------------------------
 
     def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width):
-        """(C, ...) variant of _forward; pallas-backed for Rayleigh."""
+        """(C, ...) variant of _forward; pallas-backed for Rayleigh
+        dispersion and for the RF reflectivity recursion."""
+        if spec.kind == 'rf':
+            from bayhunter_tpu.ops.rf import synrf_batch
+            C = h.shape[0]
+            qp = jnp.full((C, nl), 500.0, dtype)
+            qs = jnp.full((C, nl), 225.0, dtype)
+            vpvs0 = vp[:, 0] / vs_l[:, 0]
+            poisson = (2.0 - vpvs0 ** 2) / (2.0 - 2.0 * vpvs0 ** 2)
+            nsv = vs_l[:, 0] if spec.nsv is None \
+                else jnp.full((C,), spec.nsv, dtype)
+            rf_t = synrf_batch(h, vp, vs_l, rho, qp, qs, spec.p,
+                               spec.gauss_a, spec.nsamp, spec.fsamp,
+                               spec.tshift, nsv, poisson,
+                               wave_type=spec.wave_type)
+            y = rf_t[:, :spec.ndata]
+            return (y, jnp.all(jnp.isfinite(y), axis=-1),
+                    jnp.zeros((C, 0), dtype))
         if spec.kind == 'swd' and spec.iwave == 2:
             from bayhunter_tpu.ops.swd import surfdisp_roots_batch
             cg, err, roots = surfdisp_roots_batch(

@@ -111,3 +111,41 @@ def test_batch_solver_matches_vmap_interpret():
                                interpret=True)[0]
     np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_v),
                                atol=2e-5)
+
+
+def test_rf_batch_pallas_matches_vmap_interpret():
+    """synrf_batch (pallas transmission kernel, interpret mode) must
+    match the vmapped XLA synrf on the final receiver functions."""
+    import jax
+    from bayhunter_tpu.ops.rf import synrf, synrf_batch
+    rs = np.random.RandomState(1)
+    NL, C = 8, 3
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 5)
+        H[i, :nlay - 1] = rs.uniform(3, 20, nlay - 1)
+        vv = np.sort(rs.uniform(2.5, 4.5, nlay))
+        VS[i] = vv[-1]
+        VS[i, :nlay] = vv
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    QP = np.full((C, NL), 500., np.float32)
+    QS = np.full((C, NL), 225., np.float32)
+
+    for wave in (0, 1):
+        rf_b = synrf_batch(
+            jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+            jnp.asarray(RHO), jnp.asarray(QP), jnp.asarray(QS),
+            6.4, 1.0, 256, 5.0, 5.0, VS[:, 0],
+            np.full(C, 0.25, np.float32), wave_type=wave,
+            interpret=True)
+        rf_v = jax.vmap(
+            lambda a, b, c, d, n: synrf(
+                a, b, c, d, jnp.asarray(QP[0]), jnp.asarray(QS[0]),
+                6.4, 1.0, 256, 5.0, 5.0, n, 0.25,
+                wave_type=wave)[2])(
+            jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+            jnp.asarray(RHO), jnp.asarray(VS[:, 0]))
+        np.testing.assert_allclose(np.asarray(rf_b), np.asarray(rf_v),
+                                   atol=5e-5)
