@@ -230,9 +230,10 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref,
     nfreq = nsamp // 2 + 1
     p = p_ref[:, 0:1]                                   # (8, 1)
 
-    # frequency lanes (padded tail clamps to the last real frequency)
-    jf = jax.lax.broadcasted_iota(jnp.float32, (1, F), 1)
-    jf = jnp.minimum(jf, float(nfreq - 1))
+    # frequency lanes (padded tail clamps to the last real frequency);
+    # TPU iota must be integer-typed
+    jf = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+    jf = jnp.minimum(jf, nfreq - 1).astype(jnp.float32)
     dw = 2.0 * jnp.pi * fsamp / nsamp
     w = dw * jf                                         # (1, F)
     wref = 2.0 * jnp.pi * fref

@@ -214,6 +214,13 @@ def build_sampler(eval_fn, cfg):
     late_arr = jnp.asarray(np.array(late_moves, np.int32))
     early_arr = jnp.asarray(np.array(early_moves, np.int32))
     paridx_arr = jnp.asarray(PARIDX)
+    # propdist slots that can actually receive proposals given the
+    # configured move set (fixed vpvs/noise leave their slots at zero
+    # forever; the adaptation gate must ignore those)
+    active_slots = np.zeros(5, bool)
+    for mv in late_moves:
+        active_slots[PARIDX[mv]] = True
+    active_slots_j = jnp.asarray(active_slots)
 
     idx_nl = jnp.arange(nl)
     zero = jnp.zeros((), dtype)
@@ -367,14 +374,20 @@ def build_sampler(eval_fn, cfg):
                                               False)
         accepted = state.accepted + jnp.where(accept, onehot, False)
 
-        # adaptive proposal widths (src/SingleChain.py:425-450,584-587)
+        # adaptive proposal widths (src/SingleChain.py:425-450,584-587).
+        # The gate requires every ACTIVE slot to have received
+        # proposals (the reference gates on all five, but slots of
+        # fixed parameters never propose — with e.g. a fixed vp/vs its
+        # adaptation would never fire); never-proposed slots are left
+        # untouched, like the reference's NaN-rate skip.
         do_adapt = (jnp.mod(state.iiter, 1000) == 0) \
-            & jnp.all(proposed > 0)
+            & jnp.all((proposed > 0) | ~active_slots_j)
         rates = accepted / jnp.maximum(proposed, 1) * 100.0
         factor = jnp.where(rates < acc_lo, 0.95,
                            jnp.where(rates > acc_hi, 1.05, 1.0))
+        factor = jnp.where(proposed > 0, factor, 1.0)
         new_pd = state.propdist * factor.astype(dtype)
-        new_pd = jnp.where(rates < acc_lo,
+        new_pd = jnp.where((rates < acc_lo) & (proposed > 0),
                            jnp.maximum(new_pd, 0.001), new_pd)
         propdist = jnp.where(do_adapt, new_pd, state.propdist)
 
