@@ -24,7 +24,7 @@ jax.config.update('jax_compilation_cache_dir',
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 BASELINE_PROPOSALS_PER_S = 2570.0
-NCHAINS = int(os.environ.get('BENCH_NCHAINS', 2048))
+NCHAINS = int(os.environ.get('BENCH_NCHAINS', 512))
 ITERS = int(os.environ.get('BENCH_ITERS', 2000))
 
 
