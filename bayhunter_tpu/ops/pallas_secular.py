@@ -169,6 +169,100 @@ def _dltar4_kernel(nl, wvno_ref, omega_ref, d_ref, a_ref, b_ref,
                            e1)
 
 
+def _dltar1_kernel(nl, wvno_ref, omega_ref, d_ref, b_ref, rho_ref,
+                   out_ref):
+    """Love (SH) secular function: 2-vector Haskell recursion from the
+    halfspace up with per-layer renormalization (surfdisp96.f:710-769).
+    """
+    wvno = wvno_ref[:]            # (C_TILE, L)
+    omega = jnp.maximum(omega_ref[:], 1.0e-4)
+    water = b_ref[:, 0:1] <= 0.0  # (C_TILE, 1) surface water layer
+
+    def vert(xk):
+        return jnp.sqrt((wvno + xk) * jnp.abs(wvno - xk))
+
+    b_hs = b_ref[:, nl - 1:nl]
+    rho_hs = rho_ref[:, nl - 1:nl]
+    e1 = rho_hs * vert(omega / b_hs)          # (C_TILE, L)
+    e2 = jnp.broadcast_to(1.0 / (b_hs * b_hs), wvno.shape)
+
+    for i in range(nl - 2, -1, -1):
+        d_l = d_ref[:, i:i + 1]
+        b_l = b_ref[:, i:i + 1]
+        rho_l = rho_ref[:, i:i + 1]
+        b_safe = jnp.where(b_l <= 0.0, 1.0, b_l)
+        xkb = omega / b_safe
+        rb = vert(xkb)
+        xmu = rho_l * b_safe * b_safe
+        cosq, y, z, _ = _var_quantities(rb * d_l, rb, wvno < xkb, d_l)
+        e10 = e1 * cosq + e2 * xmu * z
+        e20 = e1 * y / xmu + e2 * cosq
+        nrm = jnp.maximum(jnp.abs(e10), jnp.abs(e20))
+        nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
+        skip = water & (i == 0)   # llw=2: skip a surface water layer
+        e1 = jnp.where(skip, e1, e10 / nrm)
+        e2 = jnp.where(skip, e2, e20 / nrm)
+    out_ref[:] = e1
+
+
+def dltar1_pallas_single(wvno, omega, d, b, rho, interpret=False):
+    """Per-chain Love variant: wvno/omega (L,) with L a multiple of
+    128, d/b/rho (NL,)."""
+    L = wvno.shape[-1]
+    nl = d.shape[-1]
+
+    def spec(width):
+        return pl.BlockSpec((1, width), lambda: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_dltar1_kernel, nl),
+        out_shape=jax.ShapeDtypeStruct((1, L), wvno.dtype),
+        in_specs=[spec(L), spec(L), spec(nl), spec(nl), spec(nl)],
+        out_specs=spec(L),
+        interpret=interpret,
+    )(wvno[None], omega[None], d[None], b[None], rho[None])
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def dltar1_pallas(wvno, omega, d, b, rho, interpret=False):
+    """Love secular values for flattened candidates.
+
+    wvno/omega : (C, L) with L a multiple of 128
+    d/b/rho    : (C, NL) padded layer arrays (halfspace last)
+    Returns (C, L) secular values (sign-exact vs ops.swd.dltar1,
+    including the surface-water-layer skip).
+    """
+    C, L = wvno.shape
+    nl = d.shape[-1]
+
+    Cp = -(-C // C_TILE) * C_TILE
+    if Cp != C:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (Cp - C,) + x.shape[1:])],
+                axis=0)
+        wvno, omega, d, b, rho = (padc(x) for x in
+                                  (wvno, omega, d, b, rho))
+
+    grid = (Cp // C_TILE,)
+
+    def spec(width):
+        return pl.BlockSpec((C_TILE, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_dltar1_kernel, nl),
+        out_shape=jax.ShapeDtypeStruct((Cp, L), wvno.dtype),
+        grid=grid,
+        in_specs=[spec(L), spec(L), spec(nl), spec(nl), spec(nl)],
+        out_specs=spec(L),
+        interpret=interpret,
+    )(wvno, omega, d, b, rho)
+    return out[:C]
+
+
 def dltar4_pallas_single(wvno, omega, d, a, b, rho, interpret=False):
     """Per-chain variant: wvno/omega (L,) with L a multiple of 128,
     d/a/b/rho (NL,).  Batches cleanly under ``jax.vmap`` (the chain

@@ -612,12 +612,13 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
     ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R)).
 
-    f32 Rayleigh only (the sampler hot path); the secular function
-    runs in the pallas VMEM kernel with chains tiled 8 per program.
+    f32 only (the sampler hot path); the secular function (Rayleigh
+    ``dltar4`` or Love ``dltar1``) runs in the pallas VMEM kernel with
+    chains tiled 8 per program.
     """
-    from bayhunter_tpu.ops.pallas_secular import dltar4_pallas
+    from bayhunter_tpu.ops.pallas_secular import (dltar1_pallas,
+                                                  dltar4_pallas)
 
-    assert iwave == 2, 'batch-first path is Rayleigh-only'
     dtype = h.dtype
     C = h.shape[0]
     if nrefine is None:
@@ -656,8 +657,12 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                 [wv, jnp.broadcast_to(wv[:, :1], (C, pad))], axis=1)
             om = jnp.concatenate(
                 [om, jnp.broadcast_to(om[:, :1], (C, pad))], axis=1)
-        vals = dltar4_pallas(wv, om, d, a, b, rho_w,
-                             interpret=interpret)
+        if iwave == 1:
+            vals = dltar1_pallas(wv, om, d, b, rho_w,
+                                 interpret=interpret)
+        else:
+            vals = dltar4_pallas(wv, om, d, a, b, rho_w,
+                                 interpret=interpret)
         return vals[:, :n0].reshape(shape)
 
     t = periods.astype(dtype)
@@ -735,7 +740,20 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     cc1 = jnp.where(jsol, gtsolh(a[jmn], b[jmn]), betmn)
     cm = (0.95 * 0.90 * cc1).astype(dtype)
 
-    if iwave == 1:
+    if iwave == 1 and USE_PALLAS and dtype == jnp.float32:
+        from bayhunter_tpu.ops.pallas_secular import \
+            dltar1_pallas_single
+
+        def secular(wvno, omega):
+            wvno_b, omega_b = jnp.broadcast_arrays(wvno, omega)
+            shape = wvno_b.shape
+            n0 = int(np.prod(shape)) if shape else 1
+            L = max(128, -(-n0 // 128) * 128)
+            wv = jnp.resize(wvno_b.reshape(-1), (L,))
+            om = jnp.resize(omega_b.reshape(-1), (L,))
+            vals = dltar1_pallas_single(wv, om, d, b, rho_w)
+            return vals[:n0].reshape(shape)
+    elif iwave == 1:
         def secular(wvno, omega):
             return dltar1(wvno, omega, d, a, b, rho_w, water)
     elif USE_PALLAS and dtype == jnp.float32:

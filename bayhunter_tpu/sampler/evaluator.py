@@ -19,6 +19,7 @@ reference's dispatch (reference: src/SingleChain.py:159-205):
 """
 
 import logging
+import os
 import typing
 
 import numpy as np
@@ -69,6 +70,10 @@ RF_REFS = {'prf': P_WAVE, 'srf': SV_WAVE}
 
 LOGL_SENTINEL = -1e15
 MISFIT_SENTINEL = 1e15
+
+# A/B toggle for the pallas RF transmission kernel in the batch path
+# (set BAYHUNTER_PALLAS_RF=0 to fall back to the vmapped XLA synrf)
+_USE_PALLAS_RF = os.environ.get('BAYHUNTER_PALLAS_RF', '1') == '1'
 
 
 def _covariance_kind(target, corr_fixed, corr_value):
@@ -152,11 +157,13 @@ class _TargetSpec:
 
 
 def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
-                    use_batch_swd=False):
+                    use_batch_swd=False, interpret=False):
     """Return ``eval_fn(vs, z, n, vpvs, noise)`` for one chain model.
 
     ``joint`` is a host JointTarget; ``nl`` the fixed model width
     (maxlayers+1).  The returned function is pure and vmappable.
+    ``interpret`` runs the pallas kernels of the batch path in
+    interpret mode (CPU testing of eval_full_batch).
     """
     rcond = initparams.get('rcond', None)
     mantle = priors.get('mantle', None)
@@ -279,9 +286,10 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     # ------------------------------------------------------------------
 
     def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width):
-        """(C, ...) variant of _forward; pallas-backed for Rayleigh
-        dispersion and for the RF reflectivity recursion."""
-        if spec.kind == 'rf':
+        """(C, ...) variant of _forward; pallas-backed for the
+        dispersion secular functions (Rayleigh and Love) and for the
+        RF reflectivity recursion."""
+        if spec.kind == 'rf' and _USE_PALLAS_RF:
             from bayhunter_tpu.ops.rf import synrf_batch
             C = h.shape[0]
             qp = jnp.full((C, nl), 500.0, dtype)
@@ -293,16 +301,18 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             rf_t = synrf_batch(h, vp, vs_l, rho, qp, qs, spec.p,
                                spec.gauss_a, spec.nsamp, spec.fsamp,
                                spec.tshift, nsv, poisson,
-                               wave_type=spec.wave_type)
+                               wave_type=spec.wave_type,
+                               interpret=interpret)
             y = rf_t[:, :spec.ndata]
             return (y, jnp.all(jnp.isfinite(y), axis=-1),
                     jnp.zeros((C, 0), dtype))
-        if spec.kind == 'swd' and spec.iwave == 2:
+        if spec.kind == 'swd':
             from bayhunter_tpu.ops.swd import surfdisp_roots_batch
             cg, err, roots = surfdisp_roots_batch(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
-                mode=spec.mode, igr=spec.igr, iflsph=spec.flsph,
-                warm_halfwidth=ring_width)
+                iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
+                iflsph=spec.flsph, warm_halfwidth=ring_width,
+                interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
                     spec.interp_x, spec.periods, cc))(cg)

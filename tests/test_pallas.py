@@ -6,9 +6,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from bayhunter_tpu.ops.pallas_secular import (dltar4_pallas,
+from bayhunter_tpu.ops.pallas_secular import (dltar1_pallas,
+                                              dltar1_pallas_single,
+                                              dltar4_pallas,
                                               dltar4_pallas_single)
-from bayhunter_tpu.ops.swd import dltar4
+from bayhunter_tpu.ops.swd import dltar1, dltar4
 
 
 def _model(NL=21):
@@ -71,6 +73,103 @@ def test_pallas_secular_water_layer():
                  jnp.asarray(rho, jnp.float32), jnp.asarray(True))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_love_secular_matches_xla():
+    h, vp, vs, rho = _model()
+    rs = np.random.RandomState(3)
+    C, L = 4, 256
+    per = rs.uniform(1, 41, L)
+    omega = (2 * np.pi / per).astype(np.float32)
+    c = rs.uniform(2.0, 4.3, (C, L)).astype(np.float32)
+    wv = omega[None, :] / c
+    om = np.broadcast_to(omega, (C, L)).astype(np.float32)
+
+    D = jnp.tile(jnp.asarray(h, jnp.float32), (C, 1))
+    A = jnp.tile(jnp.asarray(vp, jnp.float32), (C, 1))
+    B = jnp.tile(jnp.asarray(vs, jnp.float32), (C, 1))
+    R = jnp.tile(jnp.asarray(rho, jnp.float32), (C, 1))
+
+    out = dltar1_pallas(jnp.asarray(wv), jnp.asarray(om), D, B, R,
+                        interpret=True)
+    ref = jax.vmap(lambda w, o, d, a, b, r:
+                   dltar1(w, o, d, a, b, r, jnp.asarray(False)))(
+        jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
+    out_n, ref_n = np.asarray(out), np.asarray(ref)
+    assert np.all(np.sign(out_n) == np.sign(ref_n))
+    np.testing.assert_allclose(out_n, ref_n, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_love_secular_water_layer():
+    h, vp, vs, rho = _model(8)
+    vs[0] = 0.0  # surface water layer (skipped, llw=2)
+    vp[0] = 1.5
+    rho[0] = 1.0
+    h[0] = 2.0
+    rs = np.random.RandomState(4)
+    L = 128
+    per = rs.uniform(1, 41, L)
+    omega = (2 * np.pi / per).astype(np.float32)
+    wv = (omega / rs.uniform(2.0, 4.3, L)).astype(np.float32)
+
+    out = dltar1_pallas_single(jnp.asarray(wv), jnp.asarray(omega),
+                               jnp.asarray(h, jnp.float32),
+                               jnp.asarray(vs, jnp.float32),
+                               jnp.asarray(rho, jnp.float32),
+                               interpret=True)
+    ref = dltar1(jnp.asarray(wv), jnp.asarray(omega),
+                 jnp.asarray(h, jnp.float32),
+                 jnp.asarray(vp, jnp.float32),
+                 jnp.asarray(vs, jnp.float32),
+                 jnp.asarray(rho, jnp.float32), jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('igr', [0, 1])
+def test_batch_solver_love_matches_vmap_interpret(igr):
+    """surfdisp_roots_batch with iwave=1 (pallas Love kernel,
+    interpret mode) must agree with the vmapped per-chain solver."""
+    from bayhunter_tpu.ops.swd import (surfdisp_roots,
+                                       surfdisp_roots_batch)
+    rs = np.random.RandomState(5)
+    NL, C = 9, 5
+    per = jnp.asarray(np.linspace(2, 35, 9), jnp.float32)
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 5)
+        z = np.sort(rs.uniform(2, 50, nlay))
+        v = np.sort(rs.uniform(2.3, 4.5, nlay))
+        H[i, :nlay - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :nlay] = v
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    args = [jnp.asarray(x) for x in (H, VP, VS, RHO)]
+
+    # group velocities difference two phase solves 1% apart in period,
+    # amplifying the ~1e-6 km/s root-refinement resolution ~100x
+    atol = 1e-4 if igr else 2e-5
+
+    cg_v, err_v, roots = jax.vmap(
+        lambda a, b, c, d: surfdisp_roots(a, b, c, d, per, iwave=1,
+                                          igr=igr))(*args)
+    cg_b, err_b, _ = surfdisp_roots_batch(*args, per, iwave=1,
+                                          igr=igr, interpret=True)
+    np.testing.assert_allclose(np.asarray(cg_b), np.asarray(cg_v),
+                               atol=atol)
+    np.testing.assert_array_equal(np.asarray(err_b), np.asarray(err_v))
+
+    # warm path with perturbed roots
+    rp = roots + 0.01
+    w_v = jax.vmap(lambda a, b, c, d, cp: surfdisp_roots(
+        a, b, c, d, per, c_prev=cp, iwave=1, igr=igr)[0])(*args, rp)
+    w_b = surfdisp_roots_batch(*args, per, c_prev=rp, iwave=1,
+                               igr=igr, interpret=True)[0]
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_v),
+                               atol=atol)
 
 
 def test_batch_solver_matches_vmap_interpret():
@@ -149,3 +248,63 @@ def test_rf_batch_pallas_matches_vmap_interpret():
             jnp.asarray(RHO), jnp.asarray(VS[:, 0]))
         np.testing.assert_allclose(np.asarray(rf_b), np.asarray(rf_v),
                                    atol=5e-5)
+
+
+def test_eval_full_batch_matches_vmap_interpret():
+    """The full batch evaluator (pallas interpret mode) must agree
+    with the vmapped per-chain eval on Rayleigh + Love + RF targets."""
+    from bayhunter_tpu import Targets
+    from bayhunter_tpu.synthobs import SynthObs
+    from bayhunter_tpu.sampler.evaluator import build_evaluator
+
+    h = np.array([8., 25., 0.])
+    vs = np.array([2.9, 3.6, 4.4])
+    swd = SynthObs.return_swddata(h, vs, vpvs=1.73,
+                                  x=np.linspace(3, 35, 5))
+    rf = SynthObs.return_rfdata(h, vs, vpvs=1.73,
+                                x=np.linspace(-5, 15, 31))
+    targets = [
+        Targets.RayleighDispersionPhase(*map(np.asarray,
+                                             swd['rdispph'])),
+        Targets.LoveDispersionPhase(*map(np.asarray, swd['ldispph'])),
+        Targets.PReceiverFunction(*map(np.asarray, rf['prf'])),
+    ]
+    joint = Targets.JointTarget(targets=targets)
+    priors = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 10),
+              'vpvs': 1.73, 'mohoest': None, 'mantle': None,
+              'swdnoise_corr': 0.0, 'swdnoise_sigma': (1e-5, 0.05),
+              'rfnoise_corr': 0.92, 'rfnoise_sigma': (1e-5, 0.05)}
+    initparams = {'rcond': 1e-5}
+    NL = 8
+    ev = build_evaluator(joint, priors, initparams, NL,
+                         dtype=jnp.float32, use_batch_swd=True,
+                         interpret=True)
+    assert ev.eval_full_batch is not None
+
+    rs = np.random.RandomState(7)
+    C = 2
+    VS = np.zeros((C, NL), np.float32)
+    Z = np.zeros((C, NL), np.float32)
+    N = np.full(C, 3, np.int32)
+    for i in range(C):
+        VS[i, :3] = np.sort(rs.uniform(2.5, 4.5, 3))
+        VS[i, 3:] = VS[i, 2]
+        Z[i, :3] = np.sort(rs.uniform(3, 55, 3))
+        Z[i, 3:] = 60.0
+    VPVS = np.full(C, 1.73, np.float32)
+    NOISE = np.tile(np.array([0.0, 0.02, 0.0, 0.02,
+                              0.92, 0.01], np.float32), (C, 1))
+
+    args = (jnp.asarray(VS), jnp.asarray(Z), jnp.asarray(N),
+            jnp.asarray(VPVS), jnp.asarray(NOISE))
+    # cold per-chain eval provides the warm-start cache
+    logL_v, mis_v, val_v, cache = jax.jit(jax.vmap(ev.eval_cold))(*args)
+
+    cell = jnp.zeros(C, jnp.int32)
+    logL_b, mis_b, val_b, _ = jax.jit(ev.eval_full_batch)(
+        *args, cache, cell)
+    np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_v))
+    np.testing.assert_allclose(np.asarray(logL_b), np.asarray(logL_v),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(mis_b), np.asarray(mis_v),
+                               rtol=5e-4, atol=1e-5)
