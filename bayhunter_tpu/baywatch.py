@@ -27,7 +27,11 @@ class BayWatcher(object):
     """Live monitor (reference: src/BayWatch.py:31-594)."""
 
     def __init__(self, configfile=None, capacity=100, address='127.0.0.1',
-                 port=5556):
+                 port=5556, save_plots=None):
+        """``save_plots``: optional path template (e.g.
+        ``/path/fig{count:04d}.png``) — every plot update is also saved
+        there, like the reference CLI's --save-plots
+        (reference: src/BayWatch.py:616-618)."""
         import zmq
 
         if configfile is None:
@@ -55,6 +59,8 @@ class BayWatcher(object):
 
         self.chainidx = 0
         self.capacity_reached = False
+        self.save_plots = save_plots
+        self._save_count = 0
 
         self.modelbuffer = {}   # chain -> list of (vpvs, model)
         self.likebuffer = {}    # chain -> list of likes
@@ -252,6 +258,10 @@ class BayWatcher(object):
                 if plot and kind == 'noise':
                     # noise arrives last in each publish triple
                     self.update_plot()
+                    if self.save_plots:
+                        self.fig.savefig(self.save_plots.format(
+                            count=self._save_count))
+                        self._save_count += 1
             else:
                 if self.check_convergence():
                     logger.info('Inversion finished (chains frozen).')
@@ -272,6 +282,9 @@ def main(args=None):
     parser.add_argument('--address', default='127.0.0.1')
     parser.add_argument('--port', type=int, default=5556)
     parser.add_argument('--capacity', type=int, default=100)
+    parser.add_argument('--save-plots', default=None, type=str,
+                        help='path template to save plots, e.g. '
+                             '/path/to/plots/fig{count:04d}.png')
     opts = parser.parse_args(args)
 
     import os.path as op
@@ -281,7 +294,8 @@ def main(args=None):
 
     logging.basicConfig(level=logging.INFO)
     watcher = BayWatcher(configfile, capacity=opts.capacity,
-                         address=opts.address, port=opts.port)
+                         address=opts.address, port=opts.port,
+                         save_plots=opts.save_plots)
     watcher.watch()
 
 

@@ -223,11 +223,10 @@ def _displacement(p, vp, vs):
 # the kernel
 # ----------------------------------------------------------------------
 
-def _resp_kernel(nl, nsamp, fsamp, wave_type, fref,
+def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq,
                  h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
                  czr_ref, czi_ref, crr_ref, cri_ref):
     F = czr_ref.shape[-1]
-    nfreq = nsamp // 2 + 1
     p = p_ref[:, 0:1]                                   # (8, 1)
 
     # frequency lanes (padded tail clamps to the last real frequency);
@@ -325,15 +324,21 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref,
 
 def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                                  fsamp, wave_type=0, fref=1.0,
-                                 interpret=False):
+                                 nfreq_out=None, interpret=False):
     """Batched (cz, cr) transmission responses.
 
     h/vp/vs/rho/qp/qs : (C, NL) FLATTENED layer arrays (halfspace last)
     p                 : (C,) slowness in s/km
     Returns complex64 (cz, cr) of shape (C, nfreq).
+
+    ``nfreq_out`` restricts the computed frequency lanes to the first
+    nfreq_out (< nsamp//2+1) — used by synrf_batch to skip lanes the
+    Gauss low-pass makes negligible.
     """
     C, nl = h.shape
     nfreq = nsamp // 2 + 1
+    if nfreq_out is not None:
+        nfreq = min(nfreq, int(nfreq_out))
     F = max(128, -(-nfreq // 128) * 128)
 
     Cp = -(-C // C_TILE) * C_TILE
@@ -354,7 +359,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
 
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
-                          int(wave_type), float(fref)),
+                          int(wave_type), float(fref), nfreq),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=[spec(nl)] * 6 + [spec(1)],

@@ -35,6 +35,7 @@ Fidelity notes (kept deliberately identical to the reference):
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -387,7 +388,9 @@ def _deconvolve(cz, cr, wave_type, nsamp, fsamp, tshift, gauss_a, p,
     """Spectral division + Gauss filter + time shift — port of
     ``compute_rf`` (greens.cpp:343-398).  The waterlevel is NOT applied
     (dead code in the reference)."""
-    nfreq = nsamp // 2 + 1
+    # width-derived so truncated spectra (synrf_batch's Gauss-cutoff
+    # lanes) deconvolve with the same dw grid
+    nfreq = cz.shape[-1]
     rdtype = jnp.real(cz).dtype
     dw = 2.0 * jnp.pi * fsamp / nsamp
     w = dw * jnp.arange(nfreq, dtype=rdtype)
@@ -482,13 +485,24 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
     if flattening:
         h, vp, vs, rho = jax.vmap(flatten_model)(h, vp, vs, rho)
 
+    # the Gauss low-pass exp(-(w/2a)^2) suppresses lanes beyond
+    # w = 8*gauss_a by < e^-16: skip them in the transmission kernel
+    # and zero-fill the spectrum before the inverse FFT
+    nfreq = nsamp // 2 + 1
+    dw = 2.0 * np.pi * fsamp / nsamp
+    cut = min(nfreq, int(np.ceil(8.0 * float(gauss_a) / dw)) + 1)
+
     cz, cr = transmission_response_pallas(
         h, vp, vs, rho, qp, qs,
         jnp.broadcast_to(slowness, (C,)), nsamp, fsamp,
-        wave_type=wave_type, fref=fref, interpret=interpret)
+        wave_type=wave_type, fref=fref, nfreq_out=cut,
+        interpret=interpret)
 
     crf, _, _ = jax.vmap(
         lambda z, r, vpt, vst: _deconvolve(
             z, r, wave_type, nsamp, fsamp, tshift, gauss_a, slowness,
             vpt, vst, cdtype))(cz, cr, vp_top, nsv)
+    if cut < nfreq:
+        crf = jnp.concatenate(
+            [crf, jnp.zeros((C, nfreq - cut), crf.dtype)], axis=-1)
     return jnp.fft.irfft(crf, nsamp, axis=-1).astype(rdtype)

@@ -608,13 +608,41 @@ def _ring_brackets_b(omega, c_prev, cm, betmx, secular, K, max_trips,
 def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          iwave=2, mode=1, igr=0, iflsph=0, kblock=64,
                          nblocks=16, krefine=15, nrefine=None,
-                         warm_halfwidth=16, interpret=False):
+                         warm_halfwidth=16, anchor_warm=False,
+                         anchor_halfwidth=64, warm_trips_cap=None,
+                         anchor_trips_cap=3, interpret=False):
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
     ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R)).
 
     f32 only (the sampler hot path); the secular function (Rayleigh
     ``dltar4`` or Love ``dltar1``) runs in the pallas VMEM kernel with
     chains tiled 8 per program.
+
+    ``anchor_warm`` recenters the warm ring for dimension moves
+    (birth/death), whose roots jump much further than perturbation
+    moves: the shortest- and longest-period lanes are ring-searched
+    first as a cheap 2-lane pre-pass, the per-chain root shift is
+    linearly interpolated across periods, and the main ring starts
+    from the recentered estimates — lanes then exit in ~1 trip
+    instead of walking the full jump distance at every period.  The
+    search semantics (nearest sign change, expand on miss) are
+    unchanged, so results are identical whenever both searches lock
+    onto the same root.
+
+    ``warm_trips_cap`` bounds the warm-ring walk: lanes whose root
+    lies beyond cap*warm_halfwidth*DDC of the (recentered) start are
+    reported unfound, which the evaluator maps to the sentinel
+    likelihood and the proposal is rejected.  The root-shift
+    distribution under McMC moves is extremely heavy-tailed (median
+    <1 DDC step, p99 ~200 steps measured on death proposals), and a
+    monolithic batched ring pays the batch-max walk on every step;
+    a capped lane implies the proposal moved the dispersion curve
+    >~0.2 km/s somewhere, hopeless against posterior noise levels
+    (sigma ~0.01-0.05 km/s), so rejecting it outright changes the
+    chain statistics immeasurably while removing the tail cost.
+    This mirrors the reference solver's own state-dependent failure
+    mode (getsol search failure -> err -> rejected proposal,
+    surfdisp96.f:429-447, src/surf96_modsw.py:119-126).
     """
     from bayhunter_tpu.ops.pallas_secular import (dltar1_pallas,
                                                   dltar4_pallas)
@@ -622,7 +650,10 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
     dtype = h.dtype
     C = h.shape[0]
     if nrefine is None:
-        nrefine = 4 if dtype == jnp.float64 else 3
+        # phase solves need only dc/16^2 ~ 2e-5 km/s; group solves
+        # difference two phase solves 1% apart, amplifying bracket
+        # error ~100x, so they keep the third pass
+        nrefine = 4 if dtype == jnp.float64 else (3 if igr > 0 else 2)
 
     if iflsph == 1:
         d, a, b, rho_w = jax.vmap(
@@ -677,7 +708,28 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
 
     if c_prev is not None:
         cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
+        if anchor_warm:
+            nper_l = t.shape[0]
+            R = omegas.shape[1]
+            anc = np.array([0, nper_l - 1], np.int32)
+            om_anc = omegas[:, anc]
+            cp_anc = cp[:, anc]
+            trips_anc = max(1, (kblock * nblocks) // anchor_halfwidth)
+            if anchor_trips_cap is not None:
+                trips_anc = min(trips_anc, anchor_trips_cap)
+            lo_anc, found_anc = _ring_brackets_b(
+                om_anc, cp_anc, cm, betmx, secular, anchor_halfwidth,
+                trips_anc, dtype)
+            delta = jnp.where(found_anc, lo_anc - cp_anc, 0.0)
+            # period-index interpolation; with igr the lane array is
+            # the two t/(1±h) half-solves at (nearly) the same periods
+            wgt = ((jnp.arange(R) % nper_l)
+                   / max(nper_l - 1, 1)).astype(dtype)
+            shift = delta[:, :1] * (1.0 - wgt) + delta[:, 1:2] * wgt
+            cp = jnp.clip(cp + shift, cm, betmx)
         trips = max(1, (kblock * nblocks) // warm_halfwidth)
+        if warm_trips_cap is not None:
+            trips = min(trips, warm_trips_cap)
         lo, found = _ring_brackets_b(omegas, cp, cm, betmx, secular,
                                      warm_halfwidth, trips, dtype)
     else:
@@ -720,7 +772,8 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     """
     dtype = h.dtype
     if nrefine is None:
-        nrefine = 4 if dtype == jnp.float64 else 3
+        # see surfdisp_roots_batch: phase solves tolerate dc/16^2
+        nrefine = 4 if dtype == jnp.float64 else (3 if igr > 0 else 2)
 
     if iflsph == 1:
         d, a, b, rho_w = sphere_flatten(h, vp, vs, rho, iwave)

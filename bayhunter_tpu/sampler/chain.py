@@ -678,7 +678,8 @@ def build_sampler(eval_fn, cfg):
             logL_p, misfits_p, fvalid, cache_p = batch_eval(
                 prop['vs'], prop['z'], prop['n'], prop['vpvs'],
                 prop['noise'], states.cache, states.cell,
-                ring_width=_ring_width_for(move_id))
+                ring_width=_ring_width_for(move_id),
+                dim_move=move_id in (MOVE_BIRTH, MOVE_DEATH))
             return jax.vmap(
                 lambda s, p, l, m, f, c:
                 accept_update(s, move_id, p, l, m, f, c)

@@ -75,6 +75,9 @@ MISFIT_SENTINEL = 1e15
 # (set BAYHUNTER_PALLAS_RF=0 to fall back to the vmapped XLA synrf)
 _USE_PALLAS_RF = os.environ.get('BAYHUNTER_PALLAS_RF', '1') == '1'
 
+# warm-ring trip cap for the batch SWD path; 0 disables the cap
+_WARM_TRIPS_CAP = int(os.environ.get('BAYHUNTER_WARM_CAP', '2')) or None
+
 
 def _covariance_kind(target, corr_fixed, corr_value):
     """Reference: src/SingleChain.py:159-205."""
@@ -285,10 +288,13 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     # wasting 7/8 of the VPU sublanes).  Enabled by use_batch_swd.
     # ------------------------------------------------------------------
 
-    def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width):
+    def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width,
+                       dim_move=False):
         """(C, ...) variant of _forward; pallas-backed for the
         dispersion secular functions (Rayleigh and Love) and for the
-        RF reflectivity recursion."""
+        RF reflectivity recursion.  ``dim_move`` enables the
+        anchor-shift warm start for birth/death proposals (see
+        ops/swd.py surfdisp_roots_batch)."""
         if spec.kind == 'rf' and _USE_PALLAS_RF:
             from bayhunter_tpu.ops.rf import synrf_batch
             C = h.shape[0]
@@ -308,10 +314,17 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                     jnp.zeros((C, 0), dtype))
         if spec.kind == 'swd':
             from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+            # warm-ring trip caps (see surfdisp_roots_batch): a lane
+            # beyond cap*ring_width*DDC of its (anchor-recentered)
+            # start means the proposal moved the dispersion curve
+            # >~0.2 km/s somewhere -> hopeless -> sentinel-reject
+            # instead of paying the batch-max ring walk every step
+            cap = _WARM_TRIPS_CAP if c_prev is not None else None
             cg, err, roots = surfdisp_roots_batch(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
+                anchor_warm=dim_move, warm_trips_cap=cap,
                 interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
@@ -329,7 +342,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         return y, tvalid, roots
 
     def eval_full_batch(vs, z, n, vpvs, noise, cache, cell,
-                        ring_width=16):
+                        ring_width=16, dim_move=False):
         """Batched eval_full: all arrays carry a leading chain axis."""
         C = vs.shape[0]
         h, vp, vs_l, rho = jax.vmap(
@@ -344,7 +357,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         for i, spec in enumerate(specs):
             c_prev = cache[i][1] if spec.kind == 'swd' else None
             y, tvalid, roots = _forward_batch(spec, h, vp, vs_l, rho,
-                                              c_prev, ring_width)
+                                              c_prev, ring_width,
+                                              dim_move)
             new_cache.append((y, roots))
 
             yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \

@@ -308,3 +308,58 @@ def test_eval_full_batch_matches_vmap_interpret():
                                rtol=5e-4)
     np.testing.assert_allclose(np.asarray(mis_b), np.asarray(mis_v),
                                rtol=5e-4, atol=1e-5)
+
+
+def test_batch_solver_anchor_warm_and_caps():
+    """anchor_warm recentering must agree with the plain warm search
+    for well-behaved perturbations; warm_trips_cap must flag lanes
+    whose root lies beyond the capped walk as unfound (err=True)."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+    rs = np.random.RandomState(6)
+    NL, C = 9, 4
+    per = jnp.asarray(np.linspace(2, 35, 9), jnp.float32)
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 5)
+        z = np.sort(rs.uniform(2, 50, nlay))
+        v = np.sort(rs.uniform(2.3, 4.5, nlay))
+        H[i, :nlay - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :nlay] = v
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    args = [jnp.asarray(x) for x in (H, VP, VS, RHO)]
+
+    cg0, err0, roots = surfdisp_roots_batch(*args, per, interpret=True)
+    assert not np.any(np.asarray(err0))
+
+    # anchored warm solve from slightly perturbed roots = plain warm
+    rp = roots + 0.008
+    w_plain = surfdisp_roots_batch(*args, per, c_prev=rp,
+                                   interpret=True)[0]
+    w_anchor = surfdisp_roots_batch(*args, per, c_prev=rp,
+                                    anchor_warm=True,
+                                    interpret=True)[0]
+    np.testing.assert_allclose(np.asarray(w_anchor),
+                               np.asarray(w_plain), atol=2e-5)
+
+    # a chain whose c_prev is displaced far beyond the capped walk
+    # must come back err=True (sentinel-reject semantics), while
+    # the uncapped search still finds it
+    rp_far = np.asarray(roots).copy()
+    rp_far[0] += 1.5
+    rp_far = jnp.asarray(rp_far)
+    cg_cap, err_cap, _ = surfdisp_roots_batch(
+        *args, per, c_prev=rp_far, warm_trips_cap=2, interpret=True)
+    assert bool(np.asarray(err_cap)[0])
+    assert not np.any(np.asarray(err_cap)[1:])
+    cg_unc, err_unc, _ = surfdisp_roots_batch(
+        *args, per, c_prev=rp_far, interpret=True)
+    # (the displaced chain itself may lock a higher mode when searched
+    # uncapped from 1.5 km/s above — nearest-sign-change semantics —
+    # so only the undisplaced chains are compared)
+    assert not np.any(np.asarray(err_unc)[1:])
+    np.testing.assert_allclose(np.asarray(cg_unc)[1:],
+                               np.asarray(cg0)[1:], atol=2e-5)
