@@ -465,31 +465,56 @@ def _ring_brackets(omega, c_prev, cm, betmx, secular, K, max_trips,
 
 def _ksection_refine(omega, lo, secular, KR, niter, dtype):
     """Narrow a (lo, lo+DDC) bracket by (KR+1)^niter via simultaneous
-    evaluation of KR interior points per iteration (the wide-vector
-    replacement of the reference's ``nevill`` serial refinement)."""
+    evaluation of KR+1 grid points per iteration (the wide-vector
+    replacement of the reference's ``nevill`` serial refinement),
+    then polish with one secant step on the final bracket's secular
+    VALUES — they come out of the same kernel calls for free.
+
+    The renormalized secular value is continuous in c (the per-layer
+    norms are maxima of continuous functions), so secant inside a
+    sign-confirmed bracket converges quadratically in the typical
+    smooth case and is safely clamped to the bracket otherwise —
+    the pure-sign resolution DDC/(KR+1)^niter stays the worst-case
+    guarantee.
+    """
     dc = jnp.asarray(DDC, dtype)
     hi = lo + dc
-    s_lo = secular(omega / lo, omega) > 0
-    fracs = jnp.arange(1, KR + 1, dtype=dtype) / (KR + 1)  # (KR,)
+    f_lo = secular(omega / lo, omega)
+    s_lo = f_lo > 0
+    # KR interior points plus the bracket top (frac 1.0), so the
+    # final bracket's endpoint values are available for the secant
+    fracs = jnp.arange(1, KR + 2, dtype=dtype) / (KR + 1)  # (KR+1,)
 
     def body(_, st):
-        lo_c, hi_c, s_lo_c = st
+        lo_c, hi_c, f_lo_c, f_hi_c = st
         pts = lo_c[..., None] + (hi_c - lo_c)[..., None] * fracs
-        sg = secular(omega[..., None] / pts, omega[..., None]) > 0
-        diff = sg != s_lo_c[..., None]                # (P, KR)
-        ones = jnp.ones(diff.shape[:-1] + (1,), bool)
-        diffx = jnp.concatenate([diff, ones], axis=-1)
-        idx = jnp.argmax(diffx, axis=-1)              # first flip
-        pts_x = jnp.concatenate([pts, hi_c[..., None]], axis=-1)
-        hi_n = jnp.take_along_axis(pts_x, idx[..., None],
+        vals = secular(omega[..., None] / pts, omega[..., None])
+        diff = (vals > 0) != s_lo[..., None]          # (P, KR+1)
+        idx = jnp.argmax(diff, axis=-1)               # first flip
+        # no flip found (all same sign, can happen on a degenerate
+        # bracket): keep the top point so the bracket stays put
+        idx = jnp.where(jnp.any(diff, axis=-1), idx, KR)
+        hi_n = jnp.take_along_axis(pts, idx[..., None],
                                    axis=-1)[..., 0]
+        f_hi_n = jnp.take_along_axis(vals, idx[..., None],
+                                     axis=-1)[..., 0]
         lo_x = jnp.concatenate([lo_c[..., None], pts], axis=-1)
+        f_lo_x = jnp.concatenate([f_lo_c[..., None], vals], axis=-1)
         lo_n = jnp.take_along_axis(lo_x, idx[..., None],
                                    axis=-1)[..., 0]
-        return lo_n, hi_n, s_lo_c
+        f_lo_n = jnp.take_along_axis(f_lo_x, idx[..., None],
+                                     axis=-1)[..., 0]
+        return lo_n, hi_n, f_lo_n, f_hi_n
 
-    lo, hi, _ = lax.fori_loop(0, niter, body, (lo, hi, s_lo))
-    return 0.5 * (lo + hi)
+    st0 = (lo, hi, f_lo, jnp.zeros_like(f_lo))
+    lo, hi, f_lo, f_hi = lax.fori_loop(0, niter, body, st0)
+
+    denom = f_hi - f_lo
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    c = lo - f_lo * (hi - lo) / denom
+    mid = 0.5 * (lo + hi)
+    good = (c > lo) & (c < hi) & jnp.isfinite(c)
+    return jnp.where(good, c, mid)
 
 
 # --------------------------------------------------------------------------
@@ -650,10 +675,11 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
     dtype = h.dtype
     C = h.shape[0]
     if nrefine is None:
-        # phase solves need only dc/16^2 ~ 2e-5 km/s; group solves
-        # difference two phase solves 1% apart, amplifying bracket
-        # error ~100x, so they keep the third pass
-        nrefine = 4 if dtype == jnp.float64 else (3 if igr > 0 else 2)
+        # the closing secant polish makes one sign pass (bracket
+        # dc/16) sufficient for phase solves; group solves difference
+        # two phase solves 1% apart, amplifying worst-case bracket
+        # error ~100x, so they keep the pure-sign dc/16^3 guarantee
+        nrefine = 3 if (dtype == jnp.float64 or igr > 0) else 1
 
     if iflsph == 1:
         d, a, b, rho_w = jax.vmap(
@@ -772,8 +798,8 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     """
     dtype = h.dtype
     if nrefine is None:
-        # see surfdisp_roots_batch: phase solves tolerate dc/16^2
-        nrefine = 4 if dtype == jnp.float64 else (3 if igr > 0 else 2)
+        # see surfdisp_roots_batch: secant polish carries phase solves
+        nrefine = 3 if (dtype == jnp.float64 or igr > 0) else 1
 
     if iflsph == 1:
         d, a, b, rho_w = sphere_flatten(h, vp, vs, rho, iwave)
