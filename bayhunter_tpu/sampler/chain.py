@@ -319,11 +319,17 @@ def build_sampler(eval_fn, cfg):
     # ------------------------------------------------------------------
 
     def _ring_width_for(move_id):
-        # dimension moves shift roots far more than perturbations —
-        # widen the warm ring when the (static) move id says so
-        if isinstance(move_id, int) and move_id in (MOVE_BIRTH,
-                                                    MOVE_DEATH):
-            return 24
+        # ring width per (static) move id, sized to the measured
+        # root-shift distributions under adapted proposal widths:
+        # birth/death jump far (anchor-recentered resid p90 ~10
+        # steps), vs moves reach p99.9 ~11 steps / max ~26, while
+        # z and vp/vs moves shift < 1 step at p99.9 — their solves
+        # run a cheaper narrow ring.
+        if isinstance(move_id, int):
+            if move_id in (MOVE_BIRTH, MOVE_DEATH):
+                return 24
+            if move_id in (MOVE_Z, MOVE_VPVS):
+                return 8
         return 16
 
     def propose(state, move_id):
