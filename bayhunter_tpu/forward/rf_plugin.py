@@ -10,7 +10,10 @@ returns the synthetic RF trimmed to the observed samples.
 import numpy as np
 import jax.numpy as jnp
 
-from bayhunter_tpu.ops.rf import synrf, P_WAVE, SV_WAVE
+from bayhunter_tpu.ops.rf import (synrf, coeff, coeffs,  # noqa: F401
+                                  P_WAVE, SV_WAVE)
+# coeff/coeffs re-exported for rfmini API parity
+# (reference: rfmini.pyx:252-331)
 
 NL_HOST = 100  # fixed host-call padding width (single compilation)
 

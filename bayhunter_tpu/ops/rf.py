@@ -89,6 +89,55 @@ def _csqrt_plain(x, cdtype):
 # interface R/T coefficients (real elastic velocities)
 # ----------------------------------------------------------------------
 
+def coeff(p, vp1, vs1, rh1, vp2, vs2, rh2, dis=1):
+    """R/T coefficient introspection, rfmini-compatible.
+
+    Mirrors ``rfmini.coeff`` (reference: rfmini.pyx:252-314 ->
+    wrap.cpp:91-153): plane-wave reflection/transmission coefficients
+    at a welded interface between two halfspaces, as five 4-tuples of
+    complex values ``(rd, td, ru, tu, sh)`` with each P-SV tuple in
+    (11, 12, 21, 22) order and ``sh = (rhd, thd, rhu, thu)``.
+    ``dis`` nonzero returns displacement coefficients (the wrap.cpp
+    velocity-ratio rescaling); 0 returns potential coefficients.
+    """
+    rd, td, ru, tu = (np.array(m) for m in interface_coefficients(
+        p, vp1, vs1, rh1, vp2, vs2, rh2, jnp.complex128))
+    if dis:
+        ru[..., 0, 1] *= vs2 / vp2
+        ru[..., 1, 0] *= vp2 / vs2
+        tu[..., 0, 0] *= vp2 / vp1
+        tu[..., 0, 1] *= vs2 / vp1
+        tu[..., 1, 0] *= vp2 / vs1
+        tu[..., 1, 1] *= vs2 / vs1
+        rd[..., 0, 1] *= vs1 / vp1
+        rd[..., 1, 0] *= vp1 / vs1
+        td[..., 0, 0] *= vp1 / vp2
+        td[..., 0, 1] *= vs1 / vp2
+        td[..., 1, 0] *= vp1 / vs2
+        td[..., 1, 1] *= vs1 / vs2
+    rhd, thd, rhu, thu = (complex(np.asarray(v)) for v in
+                          interface_coefficients_sh(
+                              p, vs1, rh1, vs2, rh2, jnp.complex128))
+
+    def tup(m):
+        return (complex(m[0, 0]), complex(m[0, 1]),
+                complex(m[1, 0]), complex(m[1, 1]))
+
+    return tup(rd), tup(td), tup(ru), tup(tu), (rhd, thd, rhu, thu)
+
+
+def coeffs(p, vp, vs, rh=None):
+    """Free-surface reflection introspection, rfmini-compatible.
+
+    Mirrors ``rfmini.coeffs`` (reference: rfmini.pyx:316-331 ->
+    greens.cpp:87-112): returns ``((ru11, ru12, ru21, ru22), rhu)``
+    with total SH reflection ``rhu = 1``.  ``rh`` is accepted for
+    signature parity but unused (as in the reference).
+    """
+    ru = np.asarray(free_surface_reflection(p, vp, vs, jnp.complex128))
+    return ((complex(ru[0, 0]), complex(ru[0, 1]),
+             complex(ru[1, 0]), complex(ru[1, 1])), complex(1.0, 0.0))
+
 def interface_coefficients(u, vp1, vs1, rho1, vp2, vs2, rho2, cdtype):
     """P-SV R/T coefficient matrices for a welded interface.
 

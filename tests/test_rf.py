@@ -158,3 +158,43 @@ def test_vmap_batch():
     fzb, frb, rfb = jax.vmap(fn)(*batched, qp, qs)
     np.testing.assert_allclose(np.asarray(rfb[2]), np.asarray(rf1),
                                atol=1e-12)
+
+
+def test_coeff_introspection_normal_incidence():
+    """rfmini-parity coeff()/coeffs() (reference: rfmini.pyx:252-331):
+    at normal incidence the displacement reflection coefficients
+    reduce to the classic impedance-contrast formulas and P/SV
+    conversions vanish."""
+    from bayhunter_tpu.ops.rf import coeff, coeffs
+    vp1, vs1, rh1 = 6.0, 3.5, 2.7
+    vp2, vs2, rh2 = 8.0, 4.6, 3.3
+    rd, td, ru, tu, sh = coeff(0.0, vp1, vs1, rh1, vp2, vs2, rh2,
+                               dis=1)
+    z1p, z2p = rh1 * vp1, rh2 * vp2
+    z1s, z2s = rh1 * vs1, rh2 * vs2
+    # downgoing P reflection: (Z2 - Z1)/(Z1 + Z2) in Mueller's sign
+    # convention (medium 1 on top)
+    np.testing.assert_allclose(rd[0].real, (z2p - z1p) / (z1p + z2p),
+                               atol=1e-12)
+    np.testing.assert_allclose(abs(rd[1]), 0.0, atol=1e-12)  # no P/SV
+    np.testing.assert_allclose(abs(rd[2]), 0.0, atol=1e-12)
+    # SH: rhd = (Z1s - Z2s)/(Z1s + Z2s), rhu = -rhd,
+    # thd = 2 Z1s/(Z1s + Z2s)
+    rhd, thd, rhu, thu = sh
+    np.testing.assert_allclose(rhd.real, (z1s - z2s) / (z1s + z2s),
+                               atol=1e-12)
+    np.testing.assert_allclose(rhu.real, -rhd.real, atol=1e-12)
+    np.testing.assert_allclose(thd.real, 2 * z1s / (z1s + z2s),
+                               atol=1e-12)
+    # energy-flux normalization of the displacement T/R pair (P at
+    # normal incidence): R^2 + (Z2/Z1) T^2 = 1
+    np.testing.assert_allclose(
+        rd[0].real ** 2 + (z2p / z1p) * td[0].real ** 2, 1.0,
+        atol=1e-12)
+
+    # free surface: total reflection, |rpp| = 1 at normal incidence,
+    # SH reflection exactly +1
+    (ru11, ru12, ru21, ru22), rhu_s = coeffs(0.0, vp1, vs1)
+    np.testing.assert_allclose(abs(ru11), 1.0, atol=1e-12)
+    np.testing.assert_allclose(abs(ru12), 0.0, atol=1e-12)
+    assert rhu_s == 1.0 + 0.0j
