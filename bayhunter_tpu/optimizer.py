@@ -163,21 +163,50 @@ class MCMC_Optimizer(object):
         last_send = 0.0
         last_ckpt = time.time()
         step_fn = self.sampler.step_fn
+        cyc = self.sampler.cycle_fn
+        cyc_early = self.sampler.cycle_early_fn
+        clen = max(len(self.sampler.cycle_moves), 1)
+        clen_e = max(len(self.sampler.cycle_early_moves), 1)
+        cutoff = self.sampler.early_cutoff
+        # fused cycles (ONE program per sweep over the move set)
+        # amortize the ~1 ms remote-dispatch floor; fall back to
+        # per-step dispatch when the snapshot stride is finer than a
+        # cycle (tiny test runs) so snapshots stay distinct states
+        use_cycles = cyc is not None and thin >= clen
         it_global = int(np.asarray(jax.device_get(states.iiter))[0])
         while it_done < total:
             step = min(seg, total - it_done)
             t_seg = time.time()
-            # host-dispatched iterations: the per-iteration move id is
-            # an argument, keeping lax.cond/switch as real branches
-            # (inside a device-side scan they lose branchiness on TPU);
-            # calls are enqueued asynchronously and synced once
-            moves = self.sampler.moves_for(it_global, step)
-            for i, m in enumerate(moves):
-                states = step_fn(states, int(m))
-                if (i & 15) == 15:
-                    # bound the async dispatch queue (the CPU client
-                    # can crash under deep sharded-execution queues)
-                    jax.block_until_ready(states.logL)
+            if use_cycles:
+                done = 0
+                ncalls = 0
+                while done < step:
+                    early = (it_global + done) < cutoff
+                    fn, cl = (cyc_early, clen_e) if early \
+                        else (cyc, clen)
+                    if step - done < cl:
+                        # remainder finer than a cycle: singles
+                        for m in self.sampler.moves_for(
+                                it_global + done, step - done):
+                            states = step_fn(states, int(m))
+                        done = step
+                        break
+                    states = fn(states)   # input pytree DONATED
+                    done += cl
+                    ncalls += 1
+                    if (ncalls & 3) == 3:
+                        # bound the async dispatch queue
+                        jax.block_until_ready(states.logL)
+            else:
+                # host-dispatched iterations: the per-iteration move
+                # id is an argument, keeping lax.cond/switch as real
+                # branches (inside a device-side scan they lose
+                # branchiness on TPU)
+                moves = self.sampler.moves_for(it_global, step)
+                for i, m in enumerate(moves):
+                    states = step_fn(states, int(m))
+                    if (i & 15) == 15:
+                        jax.block_until_ready(states.logL)
             jax.block_until_ready(states.logL)
             dt_seg = time.time() - t_seg
             it_done += step

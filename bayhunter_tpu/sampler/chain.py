@@ -87,6 +87,16 @@ class Sampler(typing.NamedTuple):
     init_states_host: typing.Callable = None
     step_fn: typing.Callable = None
     moves_for: typing.Callable = None
+    # fused move cycles (see build_sampler): ONE device program per
+    # full sweep over the move set, input state DONATED.
+    # cycle_early_fn excludes dimension moves (first 1% of iterations,
+    # src/SingleChain.py:511-517); early_cutoff is the global
+    # iteration (counted like state.iiter) where the late set starts.
+    cycle_fn: typing.Callable = None
+    cycle_early_fn: typing.Callable = None
+    cycle_moves: tuple = ()
+    cycle_early_moves: tuple = ()
+    early_cutoff: float = 0.0
 
     def __iter__(self):  # 4-tuple unpacking compatibility
         return iter((self.init_fn, self.iterate_fn, self.run_fn,
@@ -667,12 +677,9 @@ def build_sampler(eval_fn, cfg):
 
         return lax.scan(chunk, states, None, length=n_snap)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def step_fn(states, move_id):
-        """One batched iteration.  ``move_id`` is STATIC: each move
-        type compiles to a specialized program containing only its
-        own branch (a noise step contains no forward solvers at all),
-        eliminating runtime conditionals entirely.
+    def _step_static(states, move_id):
+        """One batched iteration with a STATIC (python int) move id —
+        the traced body shared by step_fn and the fused cycles.
 
         Model moves use the evaluator's batch-first path when
         available (the SWD solve then reaches the pallas secular
@@ -693,6 +700,41 @@ def build_sampler(eval_fn, cfg):
         st2, _ = iterate_batch(states, move_id)
         return st2
 
+    @partial(jax.jit, static_argnums=(1,))
+    def step_fn(states, move_id):
+        """One batched iteration; each move id compiles to its own
+        specialized program (a noise step contains no forward solvers
+        at all), eliminating runtime conditionals entirely."""
+        return _step_static(states, move_id)
+
+    # ------------------------------------------------------------------
+    # fused move cycles — the production dispatch unit.
+    #
+    # The axon (remote-TPU) dispatch floor is ~1 ms per program call,
+    # comparable to the COMPUTE of a whole sampling step; dispatching
+    # one program per iteration spends ~25% of wall time on overhead.
+    # A cycle applies every move type exactly once in a fixed order
+    # inside ONE program (systematic-scan Metropolis-Hastings: each
+    # per-move kernel is pi-invariant, so their composition is too —
+    # the reference's uniform random scan and this deterministic scan
+    # target the identical posterior).  The input state is DONATED:
+    # callers must rebind `states = cycle_fn(states)` and never touch
+    # the old pytree again.
+    # ------------------------------------------------------------------
+
+    def _make_cycle(cycle):
+        @partial(jax.jit, donate_argnums=0)
+        def fn(states):
+            for mid in cycle:
+                states = _step_static(states, int(mid))
+            return states
+        return fn
+
+    cycle_moves = tuple(late_moves)
+    cycle_early_moves = tuple(early_moves)
+    cycle_fn = _make_cycle(cycle_moves)
+    cycle_early_fn = _make_cycle(cycle_early_moves)
+
     _moves_jit = jax.jit(jax.vmap(_move_for))
 
     def moves_for(start_it, count):
@@ -703,7 +745,9 @@ def build_sampler(eval_fn, cfg):
         return np.asarray(_moves_jit(its))
 
     return Sampler(init_fn, iterate, run_fn, snapshot_fn,
-                   init_states_host, step_fn, moves_for)
+                   init_states_host, step_fn, moves_for,
+                   cycle_fn, cycle_early_fn, cycle_moves,
+                   cycle_early_moves, early_cutoff)
 
 
 class SingleChain(object):

@@ -66,32 +66,44 @@ def main():
     states = sampler.init_states_host(0, NCHAINS)
     jax.block_until_ready(states.logL)
 
-    # production hot path: host-dispatched iterations (async enqueue,
-    # one sync per segment); see sampler/chain.py Sampler docstring
-    import jax.numpy as jnp
-    thin = 50
+    # production hot path: fused move cycles (ONE device program per
+    # sweep over the move set, input state donated) dispatched from
+    # the host; see sampler/chain.py Sampler docstring
+    thin = 48
     nseg = max(1, ITERS // thin)
-    step_fn = sampler.step_fn
+    cyc, clen = sampler.cycle_fn, len(sampler.cycle_moves)
+    cyc_e, clen_e = (sampler.cycle_early_fn,
+                     len(sampler.cycle_early_moves))
+    cutoff = sampler.early_cutoff
     it = -ITERS
 
-    def run_segment(s, it0):
-        for m in sampler.moves_for(it0, thin):
-            s = step_fn(s, int(m))
-        return s
+    def run_segment(s, it0, count):
+        done = 0
+        while done < count:
+            if (it0 + done) < cutoff:
+                s = cyc_e(s)
+                done += clen_e
+            else:
+                s = cyc(s)
+                done += clen
+        return s, done
 
-    # warm-up (compile + first segment)
-    states = run_segment(states, it)
+    # warm-up (compile + first segment; covers both cycle variants)
+    states, done = run_segment(states, it, max(thin, int(
+        cutoff - it) + clen))
     jax.block_until_ready(states.logL)
-    it += thin
+    it += done
 
     t0 = time.time()
+    total = 0
     for _ in range(nseg):
-        states = run_segment(states, it)
-        it += thin
+        states, done = run_segment(states, it, thin)
+        it += done
+        total += done
     jax.block_until_ready(states.logL)
     dt = time.time() - t0
 
-    proposals = nseg * thin * NCHAINS
+    proposals = total * NCHAINS
     rate = proposals / dt
     print(json.dumps({
         'metric': 'joint SWD+RF McMC proposal throughput '

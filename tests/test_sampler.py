@@ -196,3 +196,27 @@ def test_all_six_targets_joint():
     states, _ = smp.run_fn(states, 2, 50)
     logL = np.asarray(states.logL)
     assert np.all(np.isfinite(logL)) and np.all(logL > -1e14)
+
+
+def test_cycle_matches_step_sequence(sampler):
+    """The fused move cycle (one program) must be bit-identical to
+    dispatching its moves one step_fn call at a time."""
+    states = sampler.init_states_host(5, 8)
+    copy = jax.tree_util.tree_map(jnp.copy, states)
+    s_cyc = sampler.cycle_fn(copy)        # input donated
+    s_seq = states
+    for m in sampler.cycle_moves:
+        s_seq = sampler.step_fn(s_seq, int(m))
+    for name in ('vs', 'z', 'n', 'vpvs', 'noise', 'logL', 'iiter',
+                 'accepted', 'proposed', 'propdist'):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_cyc, name)),
+            np.asarray(getattr(s_seq, name)), err_msg=name)
+
+    # early cycle excludes dimension moves
+    from bayhunter_tpu.sampler.chain import MOVE_BIRTH, MOVE_DEATH
+    assert MOVE_BIRTH not in sampler.cycle_early_moves
+    assert MOVE_DEATH not in sampler.cycle_early_moves
+    n_before = np.asarray(s_cyc.n).copy()
+    s_e = sampler.cycle_early_fn(s_cyc)
+    np.testing.assert_array_equal(np.asarray(s_e.n), n_before)
