@@ -59,6 +59,13 @@ class BayWatcher(object):
 
         self.chainidx = 0
         self.capacity_reached = False
+        if save_plots:
+            import os.path as op
+            outdir = op.dirname(save_plots)
+            if outdir and not op.isdir(outdir):
+                # fail fast like the reference (src/BayWatch.py:42-43)
+                raise OSError('save_plots directory does not exist: '
+                              '%s' % outdir)
         self.save_plots = save_plots
         self._save_count = 0
 

@@ -61,6 +61,14 @@ from jax import lax
 # Values: '1' on, '0' off (also via env BAYHUNTER_PALLAS).
 USE_PALLAS = os.environ.get('BAYHUNTER_PALLAS', '0') == '1'
 
+# Optional override of the f32 refinement-pass count (see
+# surfdisp_roots_batch): the secant polish makes one sign pass enough
+# for phase solves in the typical smooth case, but its worst case is
+# the DDC/16 bracket width; set BAYHUNTER_NREFINE=2 (or 3) when
+# inverting data whose noise floor approaches ~1e-4 km/s.
+_NREFINE_ENV = os.environ.get('BAYHUNTER_NREFINE', '')
+NREFINE_F32 = int(_NREFINE_ENV) if _NREFINE_ENV else None
+
 TWOPI = 2.0 * jnp.pi
 DDC = 0.005          # phase-velocity grid step (surfdisp96.f:126)
 HGR = 0.005          # group-velocity frequency increment (surfdisp96.f:128)
@@ -679,7 +687,8 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
         # dc/16) sufficient for phase solves; group solves difference
         # two phase solves 1% apart, amplifying worst-case bracket
         # error ~100x, so they keep the pure-sign dc/16^3 guarantee
-        nrefine = 3 if (dtype == jnp.float64 or igr > 0) else 1
+        nrefine = 3 if (dtype == jnp.float64 or igr > 0) \
+            else (NREFINE_F32 or 1)
 
     if iflsph == 1:
         d, a, b, rho_w = jax.vmap(
@@ -799,7 +808,8 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     dtype = h.dtype
     if nrefine is None:
         # see surfdisp_roots_batch: secant polish carries phase solves
-        nrefine = 3 if (dtype == jnp.float64 or igr > 0) else 1
+        nrefine = 3 if (dtype == jnp.float64 or igr > 0) \
+            else (NREFINE_F32 or 1)
 
     if iflsph == 1:
         d, a, b, rho_w = sphere_flatten(h, vp, vs, rho, iwave)
@@ -819,10 +829,9 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     cc1 = jnp.where(jsol, gtsolh(a[jmn], b[jmn]), betmn)
     cm = (0.95 * 0.90 * cc1).astype(dtype)
 
-    if iwave == 1 and USE_PALLAS and dtype == jnp.float32:
-        from bayhunter_tpu.ops.pallas_secular import \
-            dltar1_pallas_single
-
+    def _pallas_secular_1d(kernel, *layers):
+        """Lane-pad candidates to a 128 multiple and call a per-chain
+        pallas secular kernel (shared Love/Rayleigh wrapper)."""
         def secular(wvno, omega):
             wvno_b, omega_b = jnp.broadcast_arrays(wvno, omega)
             shape = wvno_b.shape
@@ -830,24 +839,22 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
             L = max(128, -(-n0 // 128) * 128)
             wv = jnp.resize(wvno_b.reshape(-1), (L,))
             om = jnp.resize(omega_b.reshape(-1), (L,))
-            vals = dltar1_pallas_single(wv, om, d, b, rho_w)
+            vals = kernel(wv, om, *layers)
             return vals[:n0].reshape(shape)
+        return secular
+
+    if iwave == 1 and USE_PALLAS and dtype == jnp.float32:
+        from bayhunter_tpu.ops.pallas_secular import \
+            dltar1_pallas_single
+        secular = _pallas_secular_1d(dltar1_pallas_single, d, b, rho_w)
     elif iwave == 1:
         def secular(wvno, omega):
             return dltar1(wvno, omega, d, a, b, rho_w, water)
     elif USE_PALLAS and dtype == jnp.float32:
         from bayhunter_tpu.ops.pallas_secular import \
             dltar4_pallas_single
-
-        def secular(wvno, omega):
-            wvno_b, omega_b = jnp.broadcast_arrays(wvno, omega)
-            shape = wvno_b.shape
-            n0 = int(np.prod(shape)) if shape else 1
-            L = max(128, -(-n0 // 128) * 128)
-            wv = jnp.resize(wvno_b.reshape(-1), (L,))
-            om = jnp.resize(omega_b.reshape(-1), (L,))
-            vals = dltar4_pallas_single(wv, om, d, a, b, rho_w)
-            return vals[:n0].reshape(shape)
+        secular = _pallas_secular_1d(dltar4_pallas_single, d, a, b,
+                                     rho_w)
     else:
         def secular(wvno, omega):
             return dltar4(wvno, omega, d, a, b, rho_w, water)

@@ -165,8 +165,9 @@ class MCMC_Optimizer(object):
         step_fn = self.sampler.step_fn
         cyc = self.sampler.cycle_fn
         cyc_early = self.sampler.cycle_early_fn
-        clen = max(len(self.sampler.cycle_moves), 1)
-        clen_e = max(len(self.sampler.cycle_early_moves), 1)
+        dims_for = self.sampler.dim_slots_for
+        clen = max(self.sampler.cycle_len, 1)
+        clen_e = max(self.sampler.cycle_early_len, 1)
         cutoff = self.sampler.early_cutoff
         # fused cycles (ONE program per sweep over the move set)
         # amortize the ~1 ms remote-dispatch floor; fall back to
@@ -182,8 +183,7 @@ class MCMC_Optimizer(object):
                 ncalls = 0
                 while done < step:
                     early = (it_global + done) < cutoff
-                    fn, cl = (cyc_early, clen_e) if early \
-                        else (cyc, clen)
+                    cl = clen_e if early else clen
                     if step - done < cl:
                         # remainder finer than a cycle: singles
                         for m in self.sampler.moves_for(
@@ -191,7 +191,11 @@ class MCMC_Optimizer(object):
                             states = step_fn(states, int(m))
                         done = step
                         break
-                    states = fn(states)   # input pytree DONATED
+                    if early:
+                        states = cyc_early(states)  # input DONATED
+                    else:
+                        d1, d2 = dims_for(it_global + done)
+                        states = cyc(states, d1, d2)
                     done += cl
                     ncalls += 1
                     if (ncalls & 3) == 3:

@@ -88,14 +88,17 @@ class Sampler(typing.NamedTuple):
     step_fn: typing.Callable = None
     moves_for: typing.Callable = None
     # fused move cycles (see build_sampler): ONE device program per
-    # full sweep over the move set, input state DONATED.
+    # full sweep over the move set, input state DONATED; the two
+    # dimension slots of ``cycle_fn(states, d1, d2)`` take per-cycle
+    # birth/death draws from ``dim_slots_for(it)``.
     # cycle_early_fn excludes dimension moves (first 1% of iterations,
     # src/SingleChain.py:511-517); early_cutoff is the global
     # iteration (counted like state.iiter) where the late set starts.
     cycle_fn: typing.Callable = None
     cycle_early_fn: typing.Callable = None
-    cycle_moves: tuple = ()
-    cycle_early_moves: tuple = ()
+    cycle_len: int = 0
+    cycle_early_len: int = 0
+    dim_slots_for: typing.Callable = None
     early_cutoff: float = 0.0
 
     def __iter__(self):  # 4-tuple unpacking compatibility
@@ -713,27 +716,60 @@ def build_sampler(eval_fn, cfg):
     # The axon (remote-TPU) dispatch floor is ~1 ms per program call,
     # comparable to the COMPUTE of a whole sampling step; dispatching
     # one program per iteration spends ~25% of wall time on overhead.
-    # A cycle applies every move type exactly once in a fixed order
-    # inside ONE program (systematic-scan Metropolis-Hastings: each
-    # per-move kernel is pi-invariant, so their composition is too —
-    # the reference's uniform random scan and this deterministic scan
-    # target the identical posterior).  The input state is DONATED:
-    # callers must rebind `states = cycle_fn(states)` and never touch
-    # the old pytree again.
+    # A cycle applies one full sweep over the move set inside ONE
+    # program (systematic-scan Metropolis-Hastings).  Perturbation
+    # kernels (vs/z/noise/vpvs) are individually pi-invariant, so any
+    # fixed order is valid; birth and death are NOT individually
+    # invariant — each proposes only one direction of the dimension
+    # jump, and the Bodin acceptance ratio assumes the reverse move is
+    # proposed with equal probability — so the two dimension SLOTS in
+    # the cycle get their identity (birth or death) drawn by the HOST
+    # per cycle, making each slot the fair birth/death mixture kernel
+    # (which is invariant).  Four compiled variants cover the
+    # (slot1, slot2) combinations; ``dim_slots_for`` supplies the
+    # deterministic per-cycle draw.  The input state is DONATED:
+    # callers must rebind `states = cycle_fn(states, d1, d2)` and
+    # never touch the old pytree again.
     # ------------------------------------------------------------------
 
-    def _make_cycle(cycle):
-        @partial(jax.jit, donate_argnums=0)
-        def fn(states):
-            for mid in cycle:
-                states = _step_static(states, int(mid))
-            return states
-        return fn
-
-    cycle_moves = tuple(late_moves)
+    has_dims = MOVE_BIRTH in late_moves
+    # cycle template: dimension slots are placeholders filled per call
+    cycle_moves = tuple(m for m in late_moves
+                        if m not in (MOVE_BIRTH, MOVE_DEATH))
+    n_dim_slots = 2 if has_dims else 0
     cycle_early_moves = tuple(early_moves)
-    cycle_fn = _make_cycle(cycle_moves)
-    cycle_early_fn = _make_cycle(cycle_early_moves)
+
+    @partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+    def cycle_fn(states, d1=MOVE_BIRTH, d2=MOVE_DEATH):
+        """One late-phase sweep: vs, z, <d1>, <d2>, then the
+        noise/vpvs moves of the configured set.  ``d1``/``d2`` are the
+        per-cycle dimension-slot draws (MOVE_BIRTH or MOVE_DEATH)."""
+        order = [MOVE_VS, MOVE_Z]
+        if has_dims:
+            order += [int(d1), int(d2)]
+        order += [m for m in cycle_moves if m not in (MOVE_VS, MOVE_Z)]
+        for mid in order:
+            states = _step_static(states, int(mid))
+        return states
+
+    @partial(jax.jit, donate_argnums=0)
+    def cycle_early_fn(states):
+        for mid in cycle_early_moves:
+            states = _step_static(states, int(mid))
+        return states
+
+    def dim_slots_for(it):
+        """Deterministic (birth|death, birth|death) draw for the cycle
+        starting at global iteration ``it`` — independent of the chain
+        state, so each dimension slot is the fair mixture kernel.
+        Pure host-side (NO device call: a per-cycle device round-trip
+        would force a pipeline sync and serialize dispatch)."""
+        rs = np.random.RandomState((20120831 + int(it)) & 0x7fffffff)
+        d = rs.randint(0, 2, 2)
+        return (MOVE_BIRTH if d[0] == 0 else MOVE_DEATH,
+                MOVE_BIRTH if d[1] == 0 else MOVE_DEATH)
+
+    cycle_len = len(cycle_moves) + n_dim_slots
 
     _moves_jit = jax.jit(jax.vmap(_move_for))
 
@@ -746,8 +782,9 @@ def build_sampler(eval_fn, cfg):
 
     return Sampler(init_fn, iterate, run_fn, snapshot_fn,
                    init_states_host, step_fn, moves_for,
-                   cycle_fn, cycle_early_fn, cycle_moves,
-                   cycle_early_moves, early_cutoff)
+                   cycle_fn, cycle_early_fn, cycle_len,
+                   len(cycle_early_moves), dim_slots_for,
+                   early_cutoff)
 
 
 class SingleChain(object):

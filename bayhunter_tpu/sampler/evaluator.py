@@ -160,14 +160,20 @@ class _TargetSpec:
 
 
 def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
-                    use_batch_swd=False, interpret=False):
+                    use_batch_swd=False, interpret=False,
+                    use_pallas_rf=None):
     """Return ``eval_fn(vs, z, n, vpvs, noise)`` for one chain model.
 
     ``joint`` is a host JointTarget; ``nl`` the fixed model width
     (maxlayers+1).  The returned function is pure and vmappable.
     ``interpret`` runs the pallas kernels of the batch path in
     interpret mode (CPU testing of eval_full_batch).
+    ``use_pallas_rf`` overrides the BAYHUNTER_PALLAS_RF default for
+    THIS evaluator (captured at build time, so two evaluators with
+    different settings can coexist in one process for A/B runs).
     """
+    pallas_rf = _USE_PALLAS_RF if use_pallas_rf is None \
+        else bool(use_pallas_rf)
     rcond = initparams.get('rcond', None)
     mantle = priors.get('mantle', None)
     if mantle is not None:
@@ -295,7 +301,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         RF reflectivity recursion.  ``dim_move`` enables the
         anchor-shift warm start for birth/death proposals (see
         ops/swd.py surfdisp_roots_batch)."""
-        if spec.kind == 'rf' and _USE_PALLAS_RF:
+        if spec.kind == 'rf' and pallas_rf:
             from bayhunter_tpu.ops.rf import synrf_batch
             C = h.shape[0]
             qp = jnp.full((C, nl), 500.0, dtype)

@@ -28,11 +28,15 @@ NCHAINS = int(os.environ.get('BENCH_NCHAINS', 512))
 ITERS = int(os.environ.get('BENCH_ITERS', 2000))
 
 
-def build():
+def build(iters=None, use_pallas_rf=None):
+    """Tutorial-configuration sampler — ALSO the shared fixture for
+    the perf scripts (scripts/profile_moves.py, scripts/bench_step_ab
+    .py import this so all measurements run the same sampler)."""
     from bayhunter_tpu import Targets
     from bayhunter_tpu.sampler.chain import build_sampler, make_config
     from bayhunter_tpu.sampler.evaluator import build_evaluator
 
+    iters = ITERS if iters is None else int(iters)
     fixtures = os.path.join(os.path.dirname(__file__), 'tests',
                             'fixtures')
     swd = np.loadtxt(os.path.join(fixtures, 'st3_rdispph.dat'))
@@ -50,12 +54,13 @@ def build():
     initparams = {'propdist': (0.015, 0.015, 0.015, 0.005, 0.005),
                   'acceptance': (40, 45), 'thickmin': 0.1,
                   'lvz': None, 'hvz': None, 'rcond': 1e-5,
-                  'iter_burnin': ITERS, 'iter_main': ITERS}
+                  'iter_burnin': iters, 'iter_main': iters}
     nl = 21
     cfg = make_config(priors, initparams, ['swd', 'rf'], nl=nl)
     use_batch = jax.devices()[0].platform == 'tpu'
     eval_fn = build_evaluator(joint, priors, initparams, nl,
-                              use_batch_swd=use_batch)
+                              use_batch_swd=use_batch,
+                              use_pallas_rf=use_pallas_rf)
     return build_sampler(eval_fn, cfg)
 
 
@@ -71,9 +76,9 @@ def main():
     # the host; see sampler/chain.py Sampler docstring
     thin = 48
     nseg = max(1, ITERS // thin)
-    cyc, clen = sampler.cycle_fn, len(sampler.cycle_moves)
-    cyc_e, clen_e = (sampler.cycle_early_fn,
-                     len(sampler.cycle_early_moves))
+    cyc, clen = sampler.cycle_fn, sampler.cycle_len
+    cyc_e, clen_e = sampler.cycle_early_fn, sampler.cycle_early_len
+    dims_for = sampler.dim_slots_for
     cutoff = sampler.early_cutoff
     it = -ITERS
 
@@ -84,15 +89,23 @@ def main():
                 s = cyc_e(s)
                 done += clen_e
             else:
-                s = cyc(s)
+                d1, d2 = dims_for(it0 + done)
+                s = cyc(s, d1, d2)
                 done += clen
         return s, done
 
-    # warm-up (compile + first segment; covers both cycle variants)
+    # warm-up: run past the early phase, then compile ALL FOUR
+    # dimension-slot cycle variants so no compile lands in the timed
+    # region (matters on a cold compile cache)
+    from bayhunter_tpu.sampler.chain import MOVE_BIRTH, MOVE_DEATH
     states, done = run_segment(states, it, max(thin, int(
         cutoff - it) + clen))
-    jax.block_until_ready(states.logL)
     it += done
+    for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH), (MOVE_BIRTH, MOVE_DEATH),
+                   (MOVE_DEATH, MOVE_BIRTH), (MOVE_DEATH, MOVE_DEATH)):
+        states = cyc(states, d1, d2)
+        it += clen
+    jax.block_until_ready(states.logL)
 
     t0 = time.time()
     total = 0

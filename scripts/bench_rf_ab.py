@@ -1,8 +1,13 @@
-"""A/B microbenchmark: pallas RF transmission kernel vs vmapped XLA.
+"""A/B microbenchmark: the production batched RF path (pallas
+transmission kernel + Gauss-cutoff frequency truncation) vs the
+full-spectrum vmapped XLA synrf.
 
-Times the full batched RF synthesis (transmission response +
-deconvolution + irfft) both ways on realistic sampler shapes, within
-ONE session (chip throughput varies >2x between sessions).
+NOTE this compares the two PATHS, not the bare kernels — the batch
+arm computes only the lanes below the Gauss low-pass knee, so part of
+its advantage is the truncation.  Times the full batched RF synthesis
+(transmission response + deconvolution + irfft) both ways on
+realistic sampler shapes, within ONE session (chip throughput varies
+>2x between sessions).
 
 Usage:  python scripts/bench_rf_ab.py [nchains] [nsamp]
 """

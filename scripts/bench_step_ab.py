@@ -1,9 +1,9 @@
 """Same-session A/B of the full sampler step with the pallas RF
 kernel on vs off (vmapped XLA synrf fallback).
 
-Builds BOTH evaluators in one process (monkeypatching the module
-toggle between builds) and interleaves timed segments, so the chip's
-session-to-session throughput variance cancels.
+Builds BOTH evaluators in one process (the toggle is captured per
+evaluator at build time) and interleaves timed segments, so the
+chip's session-to-session throughput variance cancels.
 
 Usage:  python scripts/bench_step_ab.py [nchains] [iters_per_arm]
 """
@@ -28,34 +28,10 @@ THIN = 50
 
 
 def build(use_pallas_rf):
-    from bayhunter_tpu import Targets
-    from bayhunter_tpu.sampler import evaluator as ev_mod
-    from bayhunter_tpu.sampler.chain import build_sampler, make_config
-    from bayhunter_tpu.sampler.evaluator import build_evaluator
-
-    fixtures = os.path.join(os.path.dirname(__file__), '..', 'tests',
-                            'fixtures')
-    swd = np.loadtxt(os.path.join(fixtures, 'st3_rdispph.dat'))
-    prf = np.loadtxt(os.path.join(fixtures, 'st3_prf.dat'))
-    targets = [Targets.RayleighDispersionPhase(swd[:, 0], swd[:, 1]),
-               Targets.PReceiverFunction(prf[:, 0], prf[:, 1])]
-    joint = Targets.JointTarget(targets=targets)
-
-    priors = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 20),
-              'vpvs': 1.73, 'mohoest': None, 'mantle': None,
-              'swdnoise_corr': 0.0, 'swdnoise_sigma': (1e-5, 0.05),
-              'rfnoise_corr': 0.98, 'rfnoise_sigma': (1e-5, 0.02)}
-    initparams = {'propdist': (0.015, 0.015, 0.015, 0.005, 0.005),
-                  'acceptance': (40, 45), 'thickmin': 0.1,
-                  'lvz': None, 'hvz': None, 'rcond': 1e-5,
-                  'iter_burnin': ITERS, 'iter_main': ITERS}
-    nl = 21
-    ev_mod._USE_PALLAS_RF = use_pallas_rf
-    cfg = make_config(priors, initparams, ['swd', 'rf'], nl=nl)
-    use_batch = jax.devices()[0].platform == 'tpu'
-    eval_fn = build_evaluator(joint, priors, initparams, nl,
-                              use_batch_swd=use_batch)
-    return build_sampler(eval_fn, cfg)
+    """Shared tutorial fixture — see bench.build."""
+    import bench
+    return bench.build(iters=ITERS,
+                       use_pallas_rf=use_pallas_rf)
 
 
 def main():

@@ -28,31 +28,9 @@ MOVE_NAMES = ['vs', 'z', 'birth', 'death', 'noise', 'vpvs']
 
 
 def build():
-    from bayhunter_tpu import Targets
-    from bayhunter_tpu.sampler.chain import build_sampler, make_config
-    from bayhunter_tpu.sampler.evaluator import build_evaluator
-
-    fixtures = os.path.join(os.path.dirname(__file__), '..', 'tests',
-                            'fixtures')
-    swd = np.loadtxt(os.path.join(fixtures, 'st3_rdispph.dat'))
-    prf = np.loadtxt(os.path.join(fixtures, 'st3_prf.dat'))
-    targets = [Targets.RayleighDispersionPhase(swd[:, 0], swd[:, 1]),
-               Targets.PReceiverFunction(prf[:, 0], prf[:, 1])]
-    joint = Targets.JointTarget(targets=targets)
-    priors = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 20),
-              'vpvs': 1.73, 'mohoest': None, 'mantle': None,
-              'swdnoise_corr': 0.0, 'swdnoise_sigma': (1e-5, 0.05),
-              'rfnoise_corr': 0.98, 'rfnoise_sigma': (1e-5, 0.02)}
-    initparams = {'propdist': (0.015, 0.015, 0.015, 0.005, 0.005),
-                  'acceptance': (40, 45), 'thickmin': 0.1,
-                  'lvz': None, 'hvz': None, 'rcond': 1e-5,
-                  'iter_burnin': 4096, 'iter_main': 4096}
-    nl = 21
-    cfg = make_config(priors, initparams, ['swd', 'rf'], nl=nl)
-    use_batch = jax.devices()[0].platform == 'tpu'
-    eval_fn = build_evaluator(joint, priors, initparams, nl,
-                              use_batch_swd=use_batch)
-    return build_sampler(eval_fn, cfg)
+    """Shared tutorial fixture — see bench.build."""
+    import bench
+    return bench.build(iters=4096)
 
 
 def main():

@@ -200,23 +200,32 @@ def test_all_six_targets_joint():
 
 def test_cycle_matches_step_sequence(sampler):
     """The fused move cycle (one program) must be bit-identical to
-    dispatching its moves one step_fn call at a time."""
+    dispatching its moves one step_fn call at a time; the dimension
+    slots take the per-cycle birth/death draw as static arguments."""
+    from bayhunter_tpu.sampler.chain import (MOVE_VS, MOVE_Z,
+                                             MOVE_BIRTH, MOVE_DEATH,
+                                             MOVE_NOISE)
     states = sampler.init_states_host(5, 8)
     copy = jax.tree_util.tree_map(jnp.copy, states)
-    s_cyc = sampler.cycle_fn(copy)        # input donated
+    s_cyc = sampler.cycle_fn(copy, MOVE_DEATH, MOVE_BIRTH)  # donated
     s_seq = states
-    for m in sampler.cycle_moves:
+    for m in (MOVE_VS, MOVE_Z, MOVE_DEATH, MOVE_BIRTH, MOVE_NOISE):
         s_seq = sampler.step_fn(s_seq, int(m))
     for name in ('vs', 'z', 'n', 'vpvs', 'noise', 'logL', 'iiter',
                  'accepted', 'proposed', 'propdist'):
         np.testing.assert_array_equal(
             np.asarray(getattr(s_cyc, name)),
             np.asarray(getattr(s_seq, name)), err_msg=name)
+    assert sampler.cycle_len == 5          # vs, z, 2 dim slots, noise
 
-    # early cycle excludes dimension moves
-    from bayhunter_tpu.sampler.chain import MOVE_BIRTH, MOVE_DEATH
-    assert MOVE_BIRTH not in sampler.cycle_early_moves
-    assert MOVE_DEATH not in sampler.cycle_early_moves
+    # the per-cycle dimension-slot draw is deterministic in the
+    # iteration counter and hits both move types
+    draws = [sampler.dim_slots_for(i) for i in range(40)]
+    assert sampler.dim_slots_for(7) == draws[7]
+    flat = [d for pair in draws for d in pair]
+    assert MOVE_BIRTH in flat and MOVE_DEATH in flat
+
+    # early cycle excludes dimension moves (layer count unchanged)
     n_before = np.asarray(s_cyc.n).copy()
     s_e = sampler.cycle_early_fn(s_cyc)
     np.testing.assert_array_equal(np.asarray(s_e.n), n_before)
