@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bayhunter_tpu import config as cfgio
-from bayhunter_tpu.sampler.chain import build_sampler, make_config
+from bayhunter_tpu.sampler.chain import (build_sampler,
+                                         dispatch_cycles, make_config)
 from bayhunter_tpu.sampler.evaluator import build_evaluator
 
 logger = logging.getLogger(__name__)
@@ -163,44 +164,19 @@ class MCMC_Optimizer(object):
         last_send = 0.0
         last_ckpt = time.time()
         step_fn = self.sampler.step_fn
-        cyc = self.sampler.cycle_fn
-        cyc_early = self.sampler.cycle_early_fn
-        dims_for = self.sampler.dim_slots_for
         clen = max(self.sampler.cycle_len, 1)
-        clen_e = max(self.sampler.cycle_early_len, 1)
-        cutoff = self.sampler.early_cutoff
         # fused cycles (ONE program per sweep over the move set)
         # amortize the ~1 ms remote-dispatch floor; fall back to
         # per-step dispatch when the snapshot stride is finer than a
         # cycle (tiny test runs) so snapshots stay distinct states
-        use_cycles = cyc is not None and thin >= clen
+        use_cycles = self.sampler.cycle_fn is not None and thin >= clen
         it_global = int(np.asarray(jax.device_get(states.iiter))[0])
         while it_done < total:
             step = min(seg, total - it_done)
             t_seg = time.time()
             if use_cycles:
-                done = 0
-                ncalls = 0
-                while done < step:
-                    early = (it_global + done) < cutoff
-                    cl = clen_e if early else clen
-                    if step - done < cl:
-                        # remainder finer than a cycle: singles
-                        for m in self.sampler.moves_for(
-                                it_global + done, step - done):
-                            states = step_fn(states, int(m))
-                        done = step
-                        break
-                    if early:
-                        states = cyc_early(states)  # input DONATED
-                    else:
-                        d1, d2 = dims_for(it_global + done)
-                        states = cyc(states, d1, d2)
-                    done += cl
-                    ncalls += 1
-                    if (ncalls & 3) == 3:
-                        # bound the async dispatch queue
-                        jax.block_until_ready(states.logL)
+                states = dispatch_cycles(self.sampler, states,
+                                         it_global, step)
             else:
                 # host-dispatched iterations: the per-iteration move
                 # id is an argument, keeping lax.cond/switch as real

@@ -18,7 +18,8 @@ import jax
 from bayhunter_tpu import Targets
 from bayhunter_tpu.config import load_params, get_path
 from bayhunter_tpu.parallel.mesh import pad_chains, shard_states
-from bayhunter_tpu.sampler.chain import build_sampler, make_config
+from bayhunter_tpu.sampler.chain import (build_sampler,
+                                         dispatch_cycles, make_config)
 from bayhunter_tpu.sampler.evaluator import build_evaluator
 
 logger = logging.getLogger(__name__)
@@ -63,8 +64,11 @@ class TomoInversion(object):
         nl = int(self.priors['layers'][1]) + 1
         self.cfg = make_config(self.priors, self.initparams, ['swd'],
                                nl=nl, dtype=dtype)
+        dev0 = (devices or jax.devices())[0]
+        use_batch = dev0.platform == 'tpu' and dtype == jnp.float32
         self.eval_fn = build_evaluator(self.joint, self.priors,
-                                       self.initparams, nl, dtype=dtype)
+                                       self.initparams, nl, dtype=dtype,
+                                       use_batch_swd=use_batch)
         self.sampler = build_sampler(self.eval_fn, self.cfg)
 
         self.devices = devices
@@ -89,10 +93,15 @@ class TomoInversion(object):
         t0 = time.time()
         done = 0
         seg_i = 0
+        smp = self.sampler
+        it_global = -int(self.initparams['iter_burnin'])
         while done < total:
             k = min(segment_iters, total - done)
-            states, _ = self.sampler.run_fn(states, 1, k)
+            # production dispatch: fused move cycles (see
+            # sampler/chain.py dispatch_cycles)
+            states = dispatch_cycles(smp, states, it_global, k)
             done += k
+            it_global += k
             seg_i += 1
             if seg_i % log_every == 0 or done >= total:
                 jax.block_until_ready(states.logL)

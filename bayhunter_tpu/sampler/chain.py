@@ -787,6 +787,41 @@ def build_sampler(eval_fn, cfg):
                    early_cutoff)
 
 
+def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
+    """Advance a batched state exactly ``count`` iterations from
+    global iteration ``it_global`` (counted like ``state.iiter``)
+    using the sampler's fused cycles — the shared host hot loop of
+    the optimizer, bench and tomography drivers.
+
+    Whole cycles are dispatched (early variant before the sampler's
+    ``early_cutoff``, dimension-slot draws from ``dim_slots_for``);
+    a remainder finer than one cycle falls back to per-step dispatch
+    on the random-scan schedule.  The async dispatch queue is bounded
+    by syncing every ``sync_every`` cycle calls.  Cycle inputs are
+    DONATED — callers must use only the returned states.
+    """
+    done = 0
+    ncalls = 0
+    while done < count:
+        early = (it_global + done) < sampler.early_cutoff
+        cl = sampler.cycle_early_len if early else sampler.cycle_len
+        if count - done < cl:
+            for m in sampler.moves_for(it_global + done, count - done):
+                states = sampler.step_fn(states, int(m))
+            done = count
+            break
+        if early:
+            states = sampler.cycle_early_fn(states)
+        else:
+            d1, d2 = sampler.dim_slots_for(it_global + done)
+            states = sampler.cycle_fn(states, d1, d2)
+        done += cl
+        ncalls += 1
+        if sync_every and (ncalls % sync_every) == 0:
+            jax.block_until_ready(states.logL)
+    return states
+
+
 class SingleChain(object):
     """Reference-compatible single-chain front end
     (reference: src/SingleChain.py:25-690) over the batched sampler.

@@ -74,46 +74,34 @@ def main():
     # production hot path: fused move cycles (ONE device program per
     # sweep over the move set, input state donated) dispatched from
     # the host; see sampler/chain.py Sampler docstring
+    from bayhunter_tpu.sampler.chain import (MOVE_BIRTH, MOVE_DEATH,
+                                             dispatch_cycles)
     thin = 48
     nseg = max(1, ITERS // thin)
-    cyc, clen = sampler.cycle_fn, sampler.cycle_len
-    cyc_e, clen_e = sampler.cycle_early_fn, sampler.cycle_early_len
-    dims_for = sampler.dim_slots_for
+    clen = sampler.cycle_len
     cutoff = sampler.early_cutoff
     it = -ITERS
-
-    def run_segment(s, it0, count):
-        done = 0
-        while done < count:
-            if (it0 + done) < cutoff:
-                s = cyc_e(s)
-                done += clen_e
-            else:
-                d1, d2 = dims_for(it0 + done)
-                s = cyc(s, d1, d2)
-                done += clen
-        return s, done
 
     # warm-up: run past the early phase, then compile ALL FOUR
     # dimension-slot cycle variants so no compile lands in the timed
     # region (matters on a cold compile cache)
-    from bayhunter_tpu.sampler.chain import MOVE_BIRTH, MOVE_DEATH
-    states, done = run_segment(states, it, max(thin, int(
-        cutoff - it) + clen))
-    it += done
+    warm = max(thin, int(cutoff - it) + clen)
+    states = dispatch_cycles(sampler, states, it, warm)
+    it += warm
     for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH), (MOVE_BIRTH, MOVE_DEATH),
                    (MOVE_DEATH, MOVE_BIRTH), (MOVE_DEATH, MOVE_DEATH)):
-        states = cyc(states, d1, d2)
+        states = sampler.cycle_fn(states, d1, d2)
         it += clen
     jax.block_until_ready(states.logL)
 
     t0 = time.time()
     total = 0
     for _ in range(nseg):
-        states, done = run_segment(states, it, thin)
-        it += done
-        total += done
-    jax.block_until_ready(states.logL)
+        states = dispatch_cycles(sampler, states, it, thin,
+                                 sync_every=0)
+        it += thin
+        total += thin
+        jax.block_until_ready(states.logL)
     dt = time.time() - t0
 
     proposals = total * NCHAINS
