@@ -66,6 +66,20 @@ class BayWatcher(object):
                 # fail fast like the reference (src/BayWatch.py:42-43)
                 raise OSError('save_plots directory does not exist: '
                               '%s' % outdir)
+            # fail fast on a malformed template too — a stray brace
+            # would otherwise raise mid-watch, hours into a run
+            try:
+                p0 = save_plots.format(count=0)
+                p1 = save_plots.format(count=1)
+            except (KeyError, IndexError, ValueError) as e:
+                raise ValueError(
+                    'save_plots template %r is not formattable with '
+                    'count= (%s)' % (save_plots, e))
+            if p0 == p1:
+                logger.warning(
+                    'save_plots template %r has no {count} field — '
+                    'every update will overwrite the same file.'
+                    % save_plots)
         self.save_plots = save_plots
         self._save_count = 0
 

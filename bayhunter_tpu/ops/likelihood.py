@@ -87,6 +87,25 @@ def loglike_gauss_white(ydiff, sigma, whitener, logcorr_det):
     return _assemble(n, logc_det, madist)
 
 
+def loglike_gauss_white_dof(ydiff, sigma, whitener, logdet_kept):
+    """Degrees-of-freedom-corrected Gaussian law on the truncated
+    subspace.  The rcond truncation keeps only k of n eigenvalues, so
+    normalizing by n (as :func:`loglike_gauss_white` and the reference
+    do, src/Targets.py:150-160) biases the sigma posterior low by
+    sqrt(k/n) — only k whitened components actually contribute to the
+    quadratic form.  This is the EXACT likelihood of the k-dimensional
+    projection z = U_k^T ydiff ~ N(0, sigma^2 Λ_k): normalization uses
+    k and the log-determinant of the KEPT spectrum, so the sigma MLE
+    is unbiased for the injected noise level.  Opt in via
+    ``initparams['gauss_dof_correction'] = True``.
+    """
+    k = whitener.shape[-1]
+    w = ydiff @ whitener                       # (..., k)
+    madist = jnp.sum(w * w, axis=-1) / (sigma * sigma)
+    logc_det = (2.0 * k) * jnp.log(sigma) + logdet_kept
+    return _assemble(k, logc_det, madist)
+
+
 def loglike_gauss(ydiff, sigma, corr_inv, logcorr_det):
     """Gaussian correlation law r^((i-j)²) with precomputed correlation
     inverse (reference: src/Targets.py:150-173).  ``corr_inv`` is the
@@ -124,14 +143,17 @@ def init_covariance_gauss(corr, size, rcond=None):
     return corr_inv, float(logdet)
 
 
-def gauss_whitener(corr, size, rcond=None):
+def gauss_whitener(corr, size, rcond=None, return_kept=False):
     """Whitening factor W (n, k) of the Gaussian correlation matrix:
     ``C^-1 ≈ W W^T`` with W = U diag(1/sqrt(λ)) over the eigenvalues
     kept by the reference's rcond pseudo-inverse truncation
     (reference: src/Targets.py:155-158).  The same subspace as
     ``np.linalg.pinv(R, rcond)``, but the quadratic form becomes a
     sum of squares — non-negative by construction in any precision.
-    Returns (W, logdet of the FULL matrix, as the reference uses)."""
+    Returns (W, logdet of the FULL matrix, as the reference uses);
+    with ``return_kept=True``, returns (W, Σ log λ_kept) instead —
+    the determinant that pairs with :func:`loglike_gauss_white_dof`.
+    """
     rmatrix = gauss_correlation_matrix(corr, size)
     lam, u = np.linalg.eigh(rmatrix)
     if rcond is not None:
@@ -139,6 +161,8 @@ def gauss_whitener(corr, size, rcond=None):
     else:
         keep = lam > 0
     w = u[:, keep] / np.sqrt(lam[keep])
+    if return_kept:
+        return w, float(np.sum(np.log(lam[keep])))
     _, logdet = np.linalg.slogdet(rmatrix)
     return w, float(logdet)
 

@@ -31,7 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bayhunter_tpu import config as cfgio
 from bayhunter_tpu.sampler.chain import (build_sampler,
-                                         dispatch_cycles, make_config)
+                                         dispatch_cycles, make_config,
+                                         precompile_cycles)
 from bayhunter_tpu.sampler.evaluator import build_evaluator
 
 logger = logging.getLogger(__name__)
@@ -169,7 +170,19 @@ class MCMC_Optimizer(object):
         # amortize the ~1 ms remote-dispatch floor; fall back to
         # per-step dispatch when the snapshot stride is finer than a
         # cycle (tiny test runs) so snapshots stay distinct states
-        use_cycles = self.sampler.cycle_fn is not None and thin >= clen
+        # initparams['fused_cycles']=False forces the per-step
+        # random-scan schedule — slower, but the comparator for A/B
+        # validation of the fused systematic-scan cycles
+        use_cycles = (self.sampler.cycle_fn is not None
+                      and thin >= clen
+                      and bool(self.initparams.get('fused_cycles',
+                                                   True)))
+        if use_cycles and not getattr(self, '_precompiled', False):
+            # concurrent AOT compile of all cycle variants: on the
+            # axon remote compiler, k cold compiles in threads cost
+            # ~max not ~sum (see chain.precompile_cycles)
+            self._precompiled = True
+            precompile_cycles(self.sampler, states)
         it_global = int(np.asarray(jax.device_get(states.iiter))[0])
         while it_done < total:
             step = min(seg, total - it_done)
@@ -213,19 +226,36 @@ class MCMC_Optimizer(object):
                 nlay = np.isfinite(
                     snap['model'][:self.nchains, :self.maxlayers]
                 ).sum(axis=1)
-                acc, prop = jax.device_get((states.accepted,
-                                            states.proposed))
+                acc, prop, ffail = jax.device_get(
+                    (states.accepted, states.proposed, states.fwdfail))
                 acc_rate = 100.0 * acc[:self.nchains].sum() \
                     / max(prop[:self.nchains].sum(), 1)
+                # forward-failure (warm-cap sentinel) rejection rate —
+                # a misconfigured propdist that inflates cap rejects
+                # must surface here, not silently bias acceptance.
+                # Slot 2 is the dimension (birth/death) slot, where
+                # root shifts (and thus cap trips) concentrate.
+                ff = ffail[:self.nchains]
+                pp = prop[:self.nchains]
+                ffail_rate = 100.0 * ff.sum() / max(pp.sum(), 1)
+                ffail_dim = 100.0 * ff[:, 2].sum() / max(
+                    pp[:, 2].sum(), 1)
                 runtime = time.time() - (t0 or time.time())
                 logger.info(
                     '%s %7d/%d it | %4.1f lay | logL med %9.1f | '
-                    'joint misfit med %8.3f | %4.1f%% acc | %6.1f s '
+                    'joint misfit med %8.3f | %4.1f%% acc | '
+                    '%4.2f%% fwd-rej (dim %4.2f%%) | %6.1f s '
                     '| %6.0f prop/s'
                     % (label, it_done, total, float(np.median(nlay)),
                        float(np.median(logL)), float(np.median(misf)),
-                       acc_rate, runtime,
+                       acc_rate, ffail_rate, ffail_dim, runtime,
                        self.nchains * step / max(dt_seg, 1e-9)))
+                if ffail_dim > 20.0:
+                    logger.warning(
+                        '> %4.1f%% of dimension proposals rejected by '
+                        'forward-solve failure (warm-cap sentinel) — '
+                        'check propdist / BAYHUNTER_WARM_CAP.'
+                        % ffail_dim)
             if baywatch_pub is not None \
                     and time.time() - last_send > dtsend:
                 self._publish(baywatch_pub,

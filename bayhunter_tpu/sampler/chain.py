@@ -62,6 +62,14 @@ class ChainState(typing.NamedTuple):
     #                         cache of the CURRENT model (evaluator.py)
     cell: jax.Array = 0     # () int32 — dataset row for tomography-
     #                         scale batched observations (0 otherwise)
+    fwdfail: jax.Array = 0  # (5,) int32 — proposals rejected because
+    #                         the FORWARD solve failed (on the warm
+    #                         path these are warm-cap sentinel rejects;
+    #                         slot layout as accepted/proposed).  A
+    #                         misconfigured propdist inflating cap
+    #                         rejections surfaces in the optimizer's
+    #                         progress diagnostics instead of silently
+    #                         biasing acceptance
 
 
 class Sampler(typing.NamedTuple):
@@ -100,6 +108,12 @@ class Sampler(typing.NamedTuple):
     cycle_early_len: int = 0
     dim_slots_for: typing.Callable = None
     early_cutoff: float = 0.0
+    # per-chain dimension-slot mixture: ``cycle_mixed_fn(states)`` is
+    # the single-program sweep used when ``dim_mixture == 'per_chain'``
+    # (the default); the four-variant ``cycle_fn`` remains for the
+    # 'host' mode and for step-sequence equivalence tests.
+    cycle_mixed_fn: typing.Callable = None
+    dim_mixture: str = 'per_chain'
 
     def __iter__(self):  # 4-tuple unpacking compatibility
         return iter((self.init_fn, self.iterate_fn, self.run_fn,
@@ -126,6 +140,15 @@ class SamplerConfig(typing.NamedTuple):
     iter_burnin: int
     iter_main: int
     dtype: object = jnp.float32
+    # dimension-slot identity in the fused cycles: 'host' draws one
+    # birth/death coin per cycle on the host (four compiled variants),
+    # 'per_chain' draws an independent coin per chain inside ONE
+    # compiled program (both proposals are computed — cheap (NL,)
+    # arithmetic — and the single forward solve covers the selected
+    # one).  Per-chain is the production default: one cycle program
+    # instead of four, and each chain's slot is the fair mixture
+    # kernel by construction rather than ensemble-wide.
+    dim_mixture: str = 'per_chain'
 
     @property
     def noiseinds(self):
@@ -183,7 +206,8 @@ def make_config(priors, initparams, noiserefs, nl=None,
         acceptance=tuple(float(v) for v in initparams['acceptance']),
         iter_burnin=int(initparams['iter_burnin']),
         iter_main=int(initparams['iter_main']),
-        dtype=dtype)
+        dtype=dtype,
+        dim_mixture=str(initparams.get('dim_mixture', 'per_chain')))
 
 
 def build_sampler(eval_fn, cfg):
@@ -369,18 +393,56 @@ def build_sampler(eval_fn, cfg):
         return dict(key=key, vs=vs_p, z=z_p, n=n_p, noise=noise_p,
                     vpvs=vpvs_p, dvs2=dvs2, valid=valid, u=u)
 
+    def propose_dim(state):
+        """Per-chain fair birth/death mixture proposal: BOTH directions
+        are computed (cheap (NL,) arithmetic) and an independent coin
+        per chain selects one — so a single compiled program (and a
+        single forward solve) covers the dimension slot, and each
+        chain's slot kernel is the 1/2-1/2 Bodin mixture by
+        construction (reference proposes birth/death each with
+        probability 1/6 per iteration, src/SingleChain.py:503-517)."""
+        key, k1, k2, k_coin, k_u = random.split(state.key, 5)
+        coin = random.bernoulli(k_coin)        # True -> birth
+
+        vs_b, z_b, n_b, _, _, dvs2_b = move_birth(state, k1, k2)
+        vs_d, z_d, n_d, _, _, dvs2_d = move_death(state, k1, k2)
+
+        vs_p = jnp.where(coin, vs_b, vs_d)
+        z_p = jnp.where(coin, z_b, z_d)
+        n_p = jnp.where(coin, n_b, n_d)
+        dvs2 = jnp.where(coin, dvs2_b, dvs2_d)
+
+        vs_p, z_p = sort_by_depth(vs_p, z_p, n_p)
+        valid = model_is_valid(vs_p, z_p, n_p, state.vpvs, priors_dict,
+                               cfg.thickmin, cfg.lvz, cfg.hvz,
+                               mantle=cfg.mantle)
+        u = jnp.log(random.uniform(k_u, dtype=dtype))
+        sign = jnp.where(coin, jnp.asarray(1.0, dtype),
+                         jnp.asarray(-1.0, dtype))
+        return dict(key=key, vs=vs_p, z=z_p, n=n_p, noise=state.noise,
+                    vpvs=state.vpvs, dvs2=dvs2, valid=valid, u=u,
+                    dim_sign=sign)
+
     def accept_update(state, move_id, prop, logL_p, misfits_p, fvalid,
                       cache_p):
-        """Metropolis acceptance + counters + adaptation; per chain."""
+        """Metropolis acceptance + counters + adaptation; per chain.
+
+        For the per-chain birth/death mixture the proposal carries
+        ``dim_sign`` (+1 birth, -1 death, per chain) and ``move_id``
+        is MOVE_BIRTH for the counter slot; for plain moves the sign
+        is implied by the static move id."""
         # acceptance probability (src/SingleChain.py:452-487)
         theta = state.propdist[2]
         log_a_birth = jnp.log(theta * jnp.sqrt(2.0 * jnp.pi) / dv)
         b_term = prop['dvs2'] / (2.0 * jnp.square(theta))
         alpha = logL_p - state.logL
-        alpha = jnp.where(move_id == MOVE_BIRTH,
-                          alpha + log_a_birth + b_term, alpha)
-        alpha = jnp.where(move_id == MOVE_DEATH,
-                          alpha - log_a_birth - b_term, alpha)
+        if 'dim_sign' in prop:
+            alpha = alpha + prop['dim_sign'] * (log_a_birth + b_term)
+        else:
+            alpha = jnp.where(move_id == MOVE_BIRTH,
+                              alpha + log_a_birth + b_term, alpha)
+            alpha = jnp.where(move_id == MOVE_DEATH,
+                              alpha - log_a_birth - b_term, alpha)
 
         accept = (prop['u'] < alpha) & prop['valid'] & fvalid
 
@@ -392,6 +454,8 @@ def build_sampler(eval_fn, cfg):
         proposed = state.proposed + jnp.where(prop['valid'], onehot,
                                               False)
         accepted = state.accepted + jnp.where(accept, onehot, False)
+        fwdfail = state.fwdfail + jnp.where(
+            prop['valid'] & jnp.logical_not(fvalid), onehot, False)
 
         # adaptive proposal widths (src/SingleChain.py:425-450,584-587).
         # The gate requires every ACTIVE slot to have received
@@ -424,7 +488,7 @@ def build_sampler(eval_fn, cfg):
             proposed=proposed,
             iiter=state.iiter + 1,
             cache=jax.tree_util.tree_map(sel, cache_p, state.cache),
-            cell=state.cell)
+            cell=state.cell, fwdfail=fwdfail)
 
     def iterate(state, move_id):
         prop = propose(state, move_id)
@@ -526,7 +590,8 @@ def build_sampler(eval_fn, cfg):
             accepted=jnp.zeros(5, jnp.int32),
             proposed=jnp.zeros(5, jnp.int32),
             iiter=jnp.asarray(-cfg.iter_burnin, jnp.int32),
-            cache=cache0, cell=jnp.zeros((), jnp.int32))
+            cache=cache0, cell=jnp.zeros((), jnp.int32),
+            fwdfail=jnp.zeros(5, jnp.int32))
 
     # ------------------------------------------------------------------
     # host-side batch init — numpy rejection sampling like the
@@ -630,7 +695,8 @@ def build_sampler(eval_fn, cfg):
             accepted=jnp.zeros((nchains, 5), jnp.int32),
             proposed=jnp.zeros((nchains, 5), jnp.int32),
             iiter=jnp.full((nchains,), -cfg.iter_burnin, jnp.int32),
-            cache=cache_j, cell=cells_j)
+            cache=cache_j, cell=cells_j,
+            fwdfail=jnp.zeros((nchains, 5), jnp.int32))
 
     # ------------------------------------------------------------------
     # runners — iterations are the OUTER scan, chains the inner vmap,
@@ -703,6 +769,30 @@ def build_sampler(eval_fn, cfg):
         st2, _ = iterate_batch(states, move_id)
         return st2
 
+    def _step_dim(states):
+        """One batched dimension-slot iteration with the PER-CHAIN
+        birth/death mixture (propose_dim): both directions share the
+        single forward solve, so one traced body covers the slot."""
+        batch_eval = getattr(eval_fn, 'eval_full_batch', None)
+        prop = jax.vmap(propose_dim)(states)
+        rw = _ring_width_for(MOVE_BIRTH)
+        if batch_eval is not None:
+            logL_p, misfits_p, fvalid, cache_p = batch_eval(
+                prop['vs'], prop['z'], prop['n'], prop['vpvs'],
+                prop['noise'], states.cache, states.cell,
+                ring_width=rw, dim_move=True)
+        else:
+            logL_p, misfits_p, fvalid, cache_p = jax.vmap(
+                lambda p, s: eval_fn.eval_full(
+                    p['vs'], p['z'], p['n'], p['vpvs'], p['noise'],
+                    s.cache, s.cell, ring_width=rw))(prop, states)
+        # move id only routes the counter slot (birth and death share
+        # propdist/counter index 2); the acceptance sign is per chain
+        return jax.vmap(
+            lambda s, p, l, m, f, c:
+            accept_update(s, MOVE_BIRTH, p, l, m, f, c)
+        )(states, prop, logL_p, misfits_p, fvalid, cache_p)
+
     @partial(jax.jit, static_argnums=(1,))
     def step_fn(states, move_id):
         """One batched iteration; each move id compiles to its own
@@ -753,6 +843,23 @@ def build_sampler(eval_fn, cfg):
         return states
 
     @partial(jax.jit, donate_argnums=0)
+    def cycle_mixed_fn(states):
+        """One late-phase sweep with PER-CHAIN dimension slots: vs, z,
+        dim, dim, then the configured noise/vpvs moves — a single
+        compiled program covers every slot outcome (vs four host-slot
+        variants), and each chain's slot is the fair birth/death
+        mixture kernel by construction."""
+        states = _step_static(states, MOVE_VS)
+        states = _step_static(states, MOVE_Z)
+        if has_dims:
+            states = _step_dim(states)
+            states = _step_dim(states)
+        for mid in cycle_moves:
+            if mid not in (MOVE_VS, MOVE_Z):
+                states = _step_static(states, int(mid))
+        return states
+
+    @partial(jax.jit, donate_argnums=0)
     def cycle_early_fn(states):
         for mid in cycle_early_moves:
             states = _step_static(states, int(mid))
@@ -784,7 +891,48 @@ def build_sampler(eval_fn, cfg):
                    init_states_host, step_fn, moves_for,
                    cycle_fn, cycle_early_fn, cycle_len,
                    len(cycle_early_moves), dim_slots_for,
-                   early_cutoff)
+                   early_cutoff, cycle_mixed_fn,
+                   getattr(cfg, 'dim_mixture', 'per_chain'))
+
+
+def precompile_cycles(sampler, states, include_steps=False):
+    """AOT-compile every dispatch program CONCURRENTLY: the early
+    cycle, all four dimension-slot variants of ``cycle_fn`` and
+    (optionally) the six per-step programs.
+
+    On the axon remote-TPU compiler a cold compile is 40 s - 10 min
+    PER PROGRAM and requests parallelize server-side, so warming k
+    programs in threads costs ~max, not ~sum.  ``lower().compile()``
+    routes through the same persistent-compile-cache layer as jit
+    dispatch, so the subsequent first CALL of each program
+    deserializes from the cache instead of recompiling (set
+    ``jax_compilation_cache_dir``, see bench.py / CLAUDE.md).
+
+    ``states`` is only lowered against (shapes/dtypes/shardings);
+    its buffers are not consumed."""
+    import concurrent.futures as cf
+
+    jobs = []
+    if sampler.cycle_early_len:
+        jobs.append(lambda: sampler.cycle_early_fn.lower(states))
+    if sampler.cycle_len:
+        if (sampler.dim_mixture == 'per_chain'
+                and sampler.cycle_mixed_fn is not None):
+            jobs.append(lambda: sampler.cycle_mixed_fn.lower(states))
+        else:
+            for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH),
+                           (MOVE_BIRTH, MOVE_DEATH),
+                           (MOVE_DEATH, MOVE_BIRTH),
+                           (MOVE_DEATH, MOVE_DEATH)):
+                jobs.append(lambda d1=d1, d2=d2:
+                            sampler.cycle_fn.lower(states, d1, d2))
+    if include_steps:
+        for m in range(6):
+            jobs.append(lambda m=m: sampler.step_fn.lower(states, m))
+    with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(lambda j=j: j().compile()) for j in jobs]
+        for f in futures:
+            f.result()
 
 
 def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
@@ -805,13 +953,18 @@ def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
     while done < count:
         early = (it_global + done) < sampler.early_cutoff
         cl = sampler.cycle_early_len if early else sampler.cycle_len
-        if count - done < cl:
+        if cl <= 0 or count - done < cl:
+            # per-step fallback also covers a degenerate empty cycle
+            # (cl == 0 would otherwise spin this loop forever)
             for m in sampler.moves_for(it_global + done, count - done):
                 states = sampler.step_fn(states, int(m))
             done = count
             break
         if early:
             states = sampler.cycle_early_fn(states)
+        elif (sampler.dim_mixture == 'per_chain'
+              and sampler.cycle_mixed_fn is not None):
+            states = sampler.cycle_mixed_fn(states)
         else:
             d1, d2 = sampler.dim_slots_for(it_global + done)
             states = sampler.cycle_fn(states, d1, d2)

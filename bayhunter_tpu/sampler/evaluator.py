@@ -95,7 +95,8 @@ def _covariance_kind(target, corr_fixed, corr_value):
 class _TargetSpec:
     """Host-precomputed constants for one target."""
 
-    def __init__(self, target, corr_fixed, corr_value, rcond, dtype):
+    def __init__(self, target, corr_fixed, corr_value, rcond, dtype,
+                 dof_correction=False):
         self.ref = target.ref
         self.kind = 'swd' if target.ref in SWD_REFS else \
             'rf' if target.ref in RF_REFS else 'custom'
@@ -145,8 +146,10 @@ class _TargetSpec:
             self.jax_forward = fwd
 
         if self.cov == 'gauss':
+            self.dof_correction = bool(dof_correction)
             whitener, logdet = lk.gauss_whitener(
-                corr_value, self.ndata, rcond=rcond)
+                corr_value, self.ndata, rcond=rcond,
+                return_kept=self.dof_correction)
             self.whitener = jnp.asarray(whitener, dtype)
             self.logcorr_det = float(logdet)
         elif self.cov == 'nocorr_scalederr':
@@ -175,6 +178,10 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     pallas_rf = _USE_PALLAS_RF if use_pallas_rf is None \
         else bool(use_pallas_rf)
     rcond = initparams.get('rcond', None)
+    # sigma-unbiased Gaussian law on the rcond-truncated subspace
+    # (see likelihood.loglike_gauss_white_dof); off by default for
+    # logL parity with the reference
+    dof_corr = bool(initparams.get('gauss_dof_correction', False))
     mantle = priors.get('mantle', None)
     if mantle is not None:
         mantle = tuple(float(v) for v in mantle)
@@ -187,7 +194,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         corr_fixed = isinstance(corr_prior, (int, float))
         corr_value = float(corr_prior) if corr_fixed else None
         specs.append(_TargetSpec(target, corr_fixed, corr_value, rcond,
-                                 dtype))
+                                 dtype, dof_correction=dof_corr))
 
     ntargets = len(specs)
 
@@ -200,6 +207,10 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             return lk.loglike_nocorr_scalederr(
                 ydiff_safe, sigma, spec.scaled_err,
                 spec.log_scalederr_sum)
+        if getattr(spec, 'dof_correction', False):
+            return lk.loglike_gauss_white_dof(ydiff_safe, sigma,
+                                              spec.whitener,
+                                              spec.logcorr_det)
         return lk.loglike_gauss_white(ydiff_safe, sigma,
                                       spec.whitener, spec.logcorr_det)
 

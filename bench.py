@@ -64,9 +64,29 @@ def build(iters=None, use_pallas_rf=None):
     return build_sampler(eval_fn, cfg)
 
 
+def _normalizer_gflops():
+    """Same-session chip normalizer: sustained bf16 matmul rate on a
+    fixed 2048^3 problem.  Chip-session throughput varies >2x between
+    sessions (see CLAUDE.md); recording this alongside the headline
+    number makes BENCH_r*.json comparable across rounds."""
+    import jax.numpy as jnp
+    n = 8192  # ~1.1 TFLOP/call: compute-bound, not dispatch-floor
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda x, y: x @ y)
+    jax.block_until_ready(f(a, b))  # compile outside the timing
+    t0 = time.time()
+    reps = 20
+    out = a
+    for _ in range(reps):
+        out = f(out, b)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return 2.0 * n ** 3 * reps / dt / 1e9
+
+
 def main():
     sampler = build()
-    run_fn = sampler.run_fn
 
     states = sampler.init_states_host(0, NCHAINS)
     jax.block_until_ready(states.logL)
@@ -75,23 +95,39 @@ def main():
     # sweep over the move set, input state donated) dispatched from
     # the host; see sampler/chain.py Sampler docstring
     from bayhunter_tpu.sampler.chain import (MOVE_BIRTH, MOVE_DEATH,
-                                             dispatch_cycles)
-    thin = 48
-    nseg = max(1, ITERS // thin)
+                                             dispatch_cycles,
+                                             precompile_cycles)
     clen = sampler.cycle_len
+    cel = sampler.cycle_early_len
     cutoff = sampler.early_cutoff
     it = -ITERS
 
-    # warm-up: run past the early phase, then compile ALL FOUR
-    # dimension-slot cycle variants so no compile lands in the timed
-    # region (matters on a cold compile cache)
-    warm = max(thin, int(cutoff - it) + clen)
-    states = dispatch_cycles(sampler, states, it, warm)
-    it += warm
-    for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH), (MOVE_BIRTH, MOVE_DEATH),
-                   (MOVE_DEATH, MOVE_BIRTH), (MOVE_DEATH, MOVE_DEATH)):
-        states = sampler.cycle_fn(states, d1, d2)
-        it += clen
+    # thin is a whole number of late-phase cycles so the timed region
+    # (and the warm-up tail) dispatches ONLY the four compiled cycle
+    # variants — never the per-step fallback, whose six step_fn
+    # programs would otherwise compile INSIDE the timed region on a
+    # cold cache (each axon compile is 40 s - 10 min)
+    thin = 8 * clen
+    nseg = max(1, ITERS // thin)
+
+    # warm-up: AOT-compile every dispatch program CONCURRENTLY
+    # (cold-cache cost ~max instead of ~sum of per-program compiles),
+    # then clear the early phase in whole early-cycles and run one
+    # un-timed late segment so every timed program is resident
+    precompile_cycles(sampler, states)
+    n_early = int(np.ceil(max(0.0, cutoff - it) / cel)) * cel
+    states = dispatch_cycles(sampler, states, it, n_early)
+    it += n_early
+    if sampler.dim_mixture != 'per_chain':
+        # host-slot mode: touch all four dimension-slot variants
+        for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH),
+                       (MOVE_BIRTH, MOVE_DEATH),
+                       (MOVE_DEATH, MOVE_BIRTH),
+                       (MOVE_DEATH, MOVE_DEATH)):
+            states = sampler.cycle_fn(states, d1, d2)
+            it += clen
+    states = dispatch_cycles(sampler, states, it, thin, sync_every=0)
+    it += thin
     jax.block_until_ready(states.logL)
 
     t0 = time.time()
@@ -106,12 +142,18 @@ def main():
 
     proposals = total * NCHAINS
     rate = proposals / dt
+    norm = _normalizer_gflops()
     print(json.dumps({
         'metric': 'joint SWD+RF McMC proposal throughput '
                   '(%d chains, 1 chip)' % NCHAINS,
         'value': round(rate, 1),
         'unit': 'proposals/s',
         'vs_baseline': round(rate / BASELINE_PROPOSALS_PER_S, 2),
+        'extra': {
+            'session_normalizer_bf16_matmul_gflops': round(norm, 1),
+            'iters_timed': total,
+            'nchains': NCHAINS,
+        },
     }))
 
 

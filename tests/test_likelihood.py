@@ -127,3 +127,45 @@ def test_gauss_whitener_matches_pinv_and_stays_psd():
         # bounded above by the sigma->0 limit of a zero residual
         assert logL < -0.5 * (n * lk.LOG2PI
                               + 2 * n * np.log(1e-5) + logdet_w) + 1.0
+
+
+def test_gauss_dof_correction_unbiases_sigma():
+    """The rcond truncation keeps k of n eigenvalues, so the
+    reference-parity law's sigma MLE estimates sqrt(k/n)*sigma_true
+    (VALIDATION.md sigma_RF note).  The DOF-corrected law
+    (loglike_gauss_white_dof) must recover the injected sigma — and
+    the biased law must recover sqrt(k/n)*sigma, confirming the
+    correction factor is exactly the subspace fraction."""
+    n, corr, rcond = 126, 0.98, 1e-5
+    sigma_true = 0.005
+    rs = np.random.RandomState(1)
+
+    R = lk.gauss_correlation_matrix(corr, n)
+    L = np.linalg.cholesky(R + 1e-12 * np.eye(n))
+    draws = 64
+    noise = (sigma_true * (L @ rs.normal(size=(n, draws)))).T
+
+    w_full, logdet_full = lk.gauss_whitener(corr, n, rcond=rcond)
+    w_kept, logdet_kept = lk.gauss_whitener(corr, n, rcond=rcond,
+                                            return_kept=True)
+    np.testing.assert_allclose(w_full, w_kept)
+    k = w_kept.shape[1]
+    assert k < n  # truncation is real at this conditioning
+
+    sig_grid = np.linspace(0.4 * sigma_true, 1.6 * sigma_true, 481)
+
+    def mle(loglike, *args):
+        ll = np.array([
+            np.mean(np.asarray(loglike(jnp.asarray(noise), s, *args)))
+            for s in sig_grid])
+        return sig_grid[np.argmax(ll)]
+
+    sig_dof = mle(lk.loglike_gauss_white_dof,
+                  jnp.asarray(w_kept), logdet_kept)
+    sig_ref = mle(lk.loglike_gauss_white,
+                  jnp.asarray(w_full), logdet_full)
+
+    assert abs(sig_dof - sigma_true) < 0.05 * sigma_true, sig_dof
+    expect_biased = np.sqrt(k / n) * sigma_true
+    assert abs(sig_ref - expect_biased) < 0.05 * sigma_true, \
+        (sig_ref, expect_biased)

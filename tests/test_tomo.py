@@ -31,7 +31,7 @@ def test_tomo_batched_cells_recover_distinct_models():
     import jax
     tomo = TomoInversion(x, Y, ref='rdispph', chains_per_cell=8,
                          priors=PRIORS, initparams=INITPARAMS,
-                         random_seed=5, devices=jax.devices('cpu')[:2])
+                         random_seed=5, devices=jax.devices('cpu')[:8])
     out = tomo.run(segment_iters=150)
 
     assert out['vs_median'].shape == (2, 121)
