@@ -12,6 +12,10 @@ Variants (each its own process — the warm cap is read at import):
 
 Usage:
   python scripts/ab_layer_posterior.py VARIANT [nchains] [burnin] [main]
+  python scripts/ab_layer_posterior.py VARIANT --summarize
+      (recompute the JSON summary from an existing /tmp/ab_layer_VARIANT
+       run without touching the TPU — run under
+       `env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu`)
 
 Prints one JSON line with the pooled better-half posterior summaries:
 layer-count histogram, Moho depth, noise posteriors, median logL,
@@ -27,10 +31,12 @@ import time
 
 import numpy as np
 
-VARIANT = sys.argv[1] if len(sys.argv) > 1 else 'base'
-NCHAINS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-BURNIN = int(sys.argv[3]) if len(sys.argv) > 3 else 2048 * 16
-MAIN = int(sys.argv[4]) if len(sys.argv) > 4 else 2048 * 8
+SUMMARIZE = '--summarize' in sys.argv
+argv = [a for a in sys.argv if a != '--summarize']
+VARIANT = argv[1] if len(argv) > 1 else 'base'
+NCHAINS = int(argv[2]) if len(argv) > 2 else 512
+BURNIN = int(argv[3]) if len(argv) > 3 else 2048 * 16
+MAIN = int(argv[4]) if len(argv) > 4 else 2048 * 8
 
 assert VARIANT in ('base', 'hostslot', 'nocap', 'randomscan',
                    'dofcorr'), VARIANT
@@ -51,6 +57,52 @@ from bayhunter_tpu.models import Model  # noqa: E402
 
 here = op.join(op.dirname(__file__), '..', 'tutorial')
 savepath = op.join('/tmp', 'ab_layer_%s' % VARIANT)
+
+
+def summarize(priors, dt=None):
+    data = op.join(savepath, 'data')
+    models = np.load(op.join(data, 'c_models.npy'))
+    likes = np.load(op.join(data, 'c_likes.npy'))
+    noises = np.load(op.join(data, 'c_noise.npy'))
+    vpvss = np.load(op.join(data, 'c_vpvs.npy'))
+
+    good = likes >= np.median(likes)   # pooled better half
+    models, likes = models[good], likes[good]
+    noises, vpvss = noises[good], vpvss[good]
+
+    maxlay = int(priors['layers'][1]) + 1
+    nlay = np.isfinite(models[:, :maxlay]).sum(axis=1)
+    counts = np.bincount(nlay, minlength=maxlay + 1)
+    hist = {int(i): round(float(c) / nlay.size, 3)
+            for i, c in enumerate(counts) if c > 0}
+
+    mohos = []
+    for m, vv in zip(models[::max(1, len(models) // 20000)],
+                     vpvss[::max(1, len(models) // 20000)]):
+        vp, vs, h = Model.get_vp_vs_h(m, vv)
+        zb = np.cumsum(h)
+        # deepest interface with a vs jump > 0.2 into vs > 4.0
+        cand = [zb[i] for i in range(len(vs) - 1)
+                if vs[i + 1] > 4.0 and vs[i + 1] - vs[i] > 0.2]
+        if cand:
+            mohos.append(cand[-1])
+    mohos = np.asarray(mohos)
+
+    nprop = NCHAINS * (BURNIN + MAIN)
+    print(json.dumps({
+        'variant': VARIANT,
+        'nchains': NCHAINS, 'burnin': BURNIN, 'main': MAIN,
+        'proposals_per_s': round(nprop / dt, 0) if dt else None,
+        'logL_median': round(float(np.median(likes)), 1),
+        'nlay_hist': hist,
+        'nlay_mode': int(np.argmax(counts)),
+        'nlay_median': float(np.median(nlay)),
+        'moho_median': round(float(np.median(mohos)), 2),
+        'moho_std': round(float(np.std(mohos)), 2),
+        'sigma_swd_median': round(float(np.median(noises[:, 1])), 5),
+        'sigma_rf_median': round(float(np.median(noises[:, 3])), 5),
+        'runtime_s': round(dt, 0) if dt else None,
+    }))
 
 
 def main():
@@ -101,49 +153,12 @@ def main():
     obj = PlotFromStorage(configfile)
     obj.save_final_distribution(maxmodels=100000, dev=0.05)
 
-    data = op.join(savepath, 'data')
-    models = np.load(op.join(data, 'c_models.npy'))
-    likes = np.load(op.join(data, 'c_likes.npy'))
-    noises = np.load(op.join(data, 'c_noise.npy'))
-    vpvss = np.load(op.join(data, 'c_vpvs.npy'))
-
-    good = likes >= np.median(likes)   # pooled better half
-    models, likes = models[good], likes[good]
-    noises, vpvss = noises[good], vpvss[good]
-
-    maxlay = int(priors['layers'][1]) + 1
-    nlay = np.isfinite(models[:, :maxlay]).sum(axis=1)
-    counts = np.bincount(nlay, minlength=maxlay + 1)
-    hist = {int(i): round(float(c) / nlay.size, 3)
-            for i, c in enumerate(counts) if c > 0}
-
-    mohos = []
-    for m, vv in zip(models[::max(1, len(models) // 20000)],
-                     vpvss[::max(1, len(models) // 20000)]):
-        vp, vs, h = Model.get_vp_vs_h(m, vv)
-        zb = np.cumsum(h)
-        # deepest interface with a vs jump > 0.2 into vs > 4.0
-        cand = [zb[i] for i in range(len(vs) - 1)
-                if vs[i + 1] > 4.0 and vs[i + 1] - vs[i] > 0.2]
-        if cand:
-            mohos.append(cand[-1])
-    mohos = np.asarray(mohos)
-
-    print(json.dumps({
-        'variant': VARIANT,
-        'nchains': NCHAINS, 'burnin': BURNIN, 'main': MAIN,
-        'proposals_per_s': round(nprop / dt, 0),
-        'logL_median': round(float(np.median(likes)), 1),
-        'nlay_hist': hist,
-        'nlay_mode': int(np.argmax(counts)),
-        'nlay_median': float(np.median(nlay)),
-        'moho_median': round(float(np.median(mohos)), 2),
-        'moho_std': round(float(np.std(mohos)), 2),
-        'sigma_swd_median': round(float(np.median(noises[:, 1])), 5),
-        'sigma_rf_median': round(float(np.median(noises[:, 3])), 5),
-        'runtime_s': round(dt, 0),
-    }))
+    summarize(priors, dt)
 
 
 if __name__ == '__main__':
-    main()
+    if SUMMARIZE:
+        priors, _ = utils.load_params(op.join(here, 'config.ini'))
+        summarize(priors)
+    else:
+        main()

@@ -197,3 +197,17 @@ maxmodels = 10
     assert paths['slowness.bin'] == 6.40
     assert initparams['station'] == 'ST01'
     assert priors['layers'] == (1, 10)
+
+
+def test_rrf_estimate_monotone_filter_width():
+    """The r_RF estimator (utils.rrf_estimate) maps noise correlation
+    to an RF Gauss filter width: stronger correlation concentrates the
+    noise spectrum at low frequency, so the fitted width ``a`` must
+    decrease monotonically with r_RF and land in the physical range
+    the reference's estimator table spans (reference:
+    src/utils.py:357-395)."""
+    rrfs, a_est = utils.rrf_estimate({'rrfs': [0.85, 0.92, 0.97],
+                                      'draws': 4000})
+    assert list(rrfs) == sorted(rrfs)
+    assert all(a1 > a2 for a1, a2 in zip(a_est, a_est[1:])), a_est
+    assert 0.5 < a_est[-1] < a_est[0] < 8.0, a_est
