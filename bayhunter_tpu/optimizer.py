@@ -94,12 +94,36 @@ class MCMC_Optimizer(object):
         self.mesh = Mesh(np.array(self.devices), ('chains',))
         self.sharding = NamedSharding(self.mesh, P('chains'))
 
-        # pad chain count to the device count
+        # optional parallel tempering (sampler/tempering.py, beyond
+        # the reference): ``nchains`` keeps its reference meaning —
+        # the number of POSTERIOR (beta=1) chains — and each cold
+        # chain gets ntemps-1 heated replicas on the same batch axis
+        self.ntemps = int(self.initparams.get('ntemps', 1))
+        self.tempering_plan = None
+
+        # pad chain count to the device count (and to whole
+        # temperature groups, so replica-exchange pairs never span a
+        # partial group)
         ndev = len(self.devices)
-        self.nchains_padded = int(np.ceil(self.nchains / ndev) * ndev)
-        if self.nchains_padded != self.nchains:
+        unit = ndev * self.ntemps // np.gcd(ndev, self.ntemps)
+        total = self.nchains * self.ntemps
+        self.nchains_padded = int(np.ceil(total / unit) * unit)
+        if self.nchains_padded != total:
             logger.info('> Padding %d chains to %d for %d devices.'
-                        % (self.nchains, self.nchains_padded, ndev))
+                        % (total, self.nchains_padded, ndev))
+
+        if self.ntemps > 1:
+            from bayhunter_tpu.sampler import tempering
+            self.sampler, self.tempering_plan = tempering.attach(
+                self.sampler, self.nchains_padded, self.ntemps,
+                tmax=float(self.initparams.get('tmax', 1000.0)),
+                swap_every=int(self.initparams.get('swap_every', 1)),
+                dtype=dtype)
+            logger.info(
+                '> Parallel tempering: %d rungs (tmax %.1f), swap '
+                'sweep every %d cycles.'
+                % (self.ntemps, self.tempering_plan.tmax,
+                   self.tempering_plan.swap_every))
 
         logger.info('> %d chain(s) are initiated on %d device(s)...'
                     % (self.nchains, ndev))
@@ -108,8 +132,11 @@ class MCMC_Optimizer(object):
     # ------------------------------------------------------------------
 
     def _init_states(self):
+        betas = None if self.tempering_plan is None \
+            else self.tempering_plan.betas
         states = self.sampler.init_states_host(self.seed,
-                                               self.nchains_padded)
+                                               self.nchains_padded,
+                                               betas=betas)
         return jax.device_put(states, self.sharding)
 
     def _phase_plan(self, niter):
@@ -130,6 +157,12 @@ class MCMC_Optimizer(object):
         vs, z, n, logL, misfits, noise, vpvs = jax.device_get(
             (states.vs, states.z, states.n, states.logL,
              states.misfits, states.noise, states.vpvs))
+        if self.tempering_plan is not None:
+            # posterior = the beta=1 rung of every temperature group
+            cold = self.tempering_plan.cold_indices(self.nchains_padded)
+            vs, z, n, logL, misfits, noise, vpvs = (
+                arr[cold] for arr in (vs, z, n, logL, misfits, noise,
+                                      vpvs))
         nl = vs.shape[-1]
         mask = np.arange(nl)[None, :] < n[:, None]
         vs_p = np.where(mask, vs, np.nan)
@@ -228,6 +261,11 @@ class MCMC_Optimizer(object):
                 ).sum(axis=1)
                 acc, prop, ffail = jax.device_get(
                     (states.accepted, states.proposed, states.fwdfail))
+                if self.tempering_plan is not None:
+                    cold = self.tempering_plan.cold_indices(
+                        self.nchains_padded)
+                    acc, prop, ffail = acc[cold], prop[cold], \
+                        ffail[cold]
                 acc_rate = 100.0 * acc[:self.nchains].sum() \
                     / max(prop[:self.nchains].sum(), 1)
                 # forward-failure (warm-cap sentinel) rejection rate —
@@ -241,14 +279,21 @@ class MCMC_Optimizer(object):
                 ffail_dim = 100.0 * ff[:, 2].sum() / max(
                     pp[:, 2].sum(), 1)
                 runtime = time.time() - (t0 or time.time())
+                swap_info = ''
+                if self.tempering_plan is not None:
+                    sacc, sprop = jax.device_get(
+                        (states.swap_accepted, states.swap_proposed))
+                    swap_info = ' | %4.1f%% swap' % (
+                        100.0 * sacc.sum() / max(sprop.sum(), 1))
                 logger.info(
                     '%s %7d/%d it | %4.1f lay | logL med %9.1f | '
                     'joint misfit med %8.3f | %4.1f%% acc | '
-                    '%4.2f%% fwd-rej (dim %4.2f%%) | %6.1f s '
+                    '%4.2f%% fwd-rej (dim %4.2f%%)%s | %6.1f s '
                     '| %6.0f prop/s'
                     % (label, it_done, total, float(np.median(nlay)),
                        float(np.median(logL)), float(np.median(misf)),
-                       acc_rate, ffail_rate, ffail_dim, runtime,
+                       acc_rate, ffail_rate, ffail_dim, swap_info,
+                       runtime,
                        self.nchains * step / max(dt_seg, 1e-9)))
                 if ffail_dim > 20.0:
                     logger.warning(

@@ -70,6 +70,19 @@ class ChainState(typing.NamedTuple):
     #                         rejections surfaces in the optimizer's
     #                         progress diagnostics instead of silently
     #                         biasing acceptance
+    beta: jax.Array = 1.0   # () inverse temperature of this chain's
+    #                         tempered target pi_beta ~ L^beta * prior
+    #                         (parallel tempering, sampler/tempering
+    #                         .py); 1.0 = the untempered posterior.
+    #                         beta scales ONLY the likelihood ratio in
+    #                         the acceptance rule — proposal-ratio
+    #                         terms (Bodin birth/death) are untempered
+    swap_accepted: jax.Array = 0  # () int32 — replica exchanges this
+    #                         chain accepted as the COLDER pair member
+    swap_proposed: jax.Array = 0  # () int32 — exchanges proposed with
+    #                         this chain as the colder member; the
+    #                         per-rung ratio is the ladder diagnostic
+    #                         (tune tmax/ntemps for ~20-40%)
 
 
 class Sampler(typing.NamedTuple):
@@ -114,6 +127,13 @@ class Sampler(typing.NamedTuple):
     # 'host' mode and for step-sequence equivalence tests.
     cycle_mixed_fn: typing.Callable = None
     dim_mixture: str = 'per_chain'
+    # parallel tempering (attached by sampler/tempering.attach):
+    # ``swap_fn(states, parity)`` proposes replica exchanges between
+    # adjacent temperature rungs of deterministic even/odd parity;
+    # dispatch_cycles calls it every ``swap_every`` cycles with
+    # alternating parity (the non-reversible DEO schedule).
+    swap_fn: typing.Callable = None
+    swap_every: int = 0
 
     def __iter__(self):  # 4-tuple unpacking compatibility
         return iter((self.init_fn, self.iterate_fn, self.run_fn,
@@ -435,7 +455,7 @@ def build_sampler(eval_fn, cfg):
         theta = state.propdist[2]
         log_a_birth = jnp.log(theta * jnp.sqrt(2.0 * jnp.pi) / dv)
         b_term = prop['dvs2'] / (2.0 * jnp.square(theta))
-        alpha = logL_p - state.logL
+        alpha = state.beta * (logL_p - state.logL)
         if 'dim_sign' in prop:
             alpha = alpha + prop['dim_sign'] * (log_a_birth + b_term)
         else:
@@ -488,7 +508,9 @@ def build_sampler(eval_fn, cfg):
             proposed=proposed,
             iiter=state.iiter + 1,
             cache=jax.tree_util.tree_map(sel, cache_p, state.cache),
-            cell=state.cell, fwdfail=fwdfail)
+            cell=state.cell, fwdfail=fwdfail, beta=state.beta,
+            swap_accepted=state.swap_accepted,
+            swap_proposed=state.swap_proposed)
 
     def iterate(state, move_id):
         prop = propose(state, move_id)
@@ -591,7 +613,10 @@ def build_sampler(eval_fn, cfg):
             proposed=jnp.zeros(5, jnp.int32),
             iiter=jnp.asarray(-cfg.iter_burnin, jnp.int32),
             cache=cache0, cell=jnp.zeros((), jnp.int32),
-            fwdfail=jnp.zeros(5, jnp.int32))
+            fwdfail=jnp.zeros(5, jnp.int32),
+            beta=jnp.ones((), dtype),
+            swap_accepted=jnp.zeros((), jnp.int32),
+            swap_proposed=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
     # host-side batch init — numpy rejection sampling like the
@@ -617,11 +642,14 @@ def build_sampler(eval_fn, cfg):
             ok &= np.all(dvs < vs0 * (1.0 + cfg.hvz), axis=1)
         return ok
 
-    def init_states_host(seed, nchains, eval_batch=None, cells=None):
+    def init_states_host(seed, nchains, eval_batch=None, cells=None,
+                         betas=None):
         """Draw ``nchains`` valid initial states with numpy; evaluate
         logL in one batched device call.  ``cells`` optionally assigns
         each chain a dataset row for tomography-scale batched
-        observations (see evaluator)."""
+        observations (see evaluator).  ``betas`` optionally assigns
+        each chain an inverse temperature (parallel tempering,
+        sampler/tempering.py); default 1.0 everywhere."""
         rs = np.random.RandomState(seed)
         vs_h = np.empty((nchains, n_init))
         z_h = np.empty((nchains, n_init))
@@ -696,7 +724,11 @@ def build_sampler(eval_fn, cfg):
             proposed=jnp.zeros((nchains, 5), jnp.int32),
             iiter=jnp.full((nchains,), -cfg.iter_burnin, jnp.int32),
             cache=cache_j, cell=cells_j,
-            fwdfail=jnp.zeros((nchains, 5), jnp.int32))
+            fwdfail=jnp.zeros((nchains, 5), jnp.int32),
+            beta=(jnp.ones((nchains,), dtype) if betas is None
+                  else jnp.asarray(np.asarray(betas), dtype)),
+            swap_accepted=jnp.zeros((nchains,), jnp.int32),
+            swap_proposed=jnp.zeros((nchains,), jnp.int32))
 
     # ------------------------------------------------------------------
     # runners — iterations are the OUTER scan, chains the inner vmap,
@@ -926,6 +958,10 @@ def precompile_cycles(sampler, states, include_steps=False):
                            (MOVE_DEATH, MOVE_DEATH)):
                 jobs.append(lambda d1=d1, d2=d2:
                             sampler.cycle_fn.lower(states, d1, d2))
+    if sampler.swap_fn is not None and sampler.swap_every > 0:
+        for parity in (0, 1):
+            jobs.append(lambda p=parity:
+                        sampler.swap_fn.lower(states, p))
     if include_steps:
         for m in range(6):
             jobs.append(lambda m=m: sampler.step_fn.lower(states, m))
@@ -970,6 +1006,12 @@ def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
             states = sampler.cycle_fn(states, d1, d2)
         done += cl
         ncalls += 1
+        if (sampler.swap_fn is not None and sampler.swap_every > 0
+                and (ncalls % sampler.swap_every) == 0):
+            # replica-exchange sweep between move cycles; parity
+            # alternates per sweep (deterministic even-odd schedule)
+            states = sampler.swap_fn(
+                states, (ncalls // sampler.swap_every) % 2)
         if sync_every and (ncalls % sync_every) == 0:
             jax.block_until_ready(states.logL)
     return states
