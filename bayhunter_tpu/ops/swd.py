@@ -409,6 +409,12 @@ def _ring_brackets(omega, c_prev, cm, betmx, secular, K, max_trips,
     probability of any fixed window approaches 1 as chains x periods
     grows).
 
+    The secular kernel is VPU-compute-bound but carries a fixed
+    per-invocation cost, so the center-point sign (needed to detect
+    flips) is FUSED into the first trip's point set instead of being
+    a separate kernel call — the extra lane per period pads into the
+    same 128-lane tile, making the fusion free.
+
     Tracking the nearest root follows the reference's own warm-start
     semantics (``getsol`` walks from just below the previous period's
     root with a direction guard, surfdisp96.f:390-447); for the
@@ -418,8 +424,6 @@ def _ring_brackets(omega, c_prev, cm, betmx, secular, K, max_trips,
     P = omega.shape
     dc = jnp.asarray(DDC, dtype)
     ksteps = jnp.arange(1, K + 1, dtype=dtype) * dc   # (K,)
-
-    s0 = secular(omega / c_prev, omega) > 0
 
     def cond(st):
         t, _, _, found, dead, _ = st
@@ -433,13 +437,21 @@ def _ring_brackets(omega, c_prev, cm, betmx, secular, K, max_trips,
 
         validR = ptsR <= betmx + dc
         validL = ptsL >= cm
-        pts = jnp.concatenate([ptsR, ptsL], axis=-1)
+        # c_prev rides along in every trip: on trip 0 its sign seeds
+        # the flip chains (sL/sR enter the loop unknown); afterwards
+        # it is dead weight that pads into the same kernel tile
+        pts = jnp.concatenate([c_prev[..., None], ptsR, ptsL],
+                              axis=-1)
         sg = secular(omega[..., None] / pts, omega[..., None]) > 0
-        sgR, sgL = sg[..., :K], sg[..., K:]
+        s0 = sg[..., 0]
+        sgR, sgL = sg[..., 1:K + 1], sg[..., K + 1:]
+        first = t == 0
+        sR_c = jnp.where(first, s0, sR)
+        sL_c = jnp.where(first, s0, sL)
 
-        allR = jnp.concatenate([sR[..., None], sgR], axis=-1)
+        allR = jnp.concatenate([sR_c[..., None], sgR], axis=-1)
         flipR = (allR[..., 1:] != allR[..., :-1]) & validR
-        allL = jnp.concatenate([sL[..., None], sgL], axis=-1)
+        allL = jnp.concatenate([sL_c[..., None], sgL], axis=-1)
         flipL = (allL[..., 1:] != allL[..., :-1]) & validL
 
         jR = jnp.argmax(flipR, axis=-1)
@@ -461,11 +473,12 @@ def _ring_brackets(omega, c_prev, cm, betmx, secular, K, max_trips,
         dead = dead | (jnp.logical_not(validR[..., 0])
                        & jnp.logical_not(validL[..., 0]))
         # frontier signs advance only while in range
-        sR = jnp.where(validR[..., -1], sgR[..., -1], sR)
-        sL = jnp.where(validL[..., -1], sgL[..., -1], sL)
+        sR = jnp.where(validR[..., -1], sgR[..., -1], sR_c)
+        sL = jnp.where(validL[..., -1], sgL[..., -1], sL_c)
         return (t + 1, sL, sR, found, dead, lo)
 
-    st0 = (jnp.asarray(0), s0, s0, jnp.zeros(P, bool),
+    sfalse = jnp.zeros(P, bool)
+    st0 = (jnp.asarray(0), sfalse, sfalse, jnp.zeros(P, bool),
            jnp.zeros(P, bool), jnp.full(P, cm, dtype))
     _, _, _, found, _, lo = lax.while_loop(cond, body, st0)
     return lo, found
@@ -487,34 +500,37 @@ def _ksection_refine(omega, lo, secular, KR, niter, dtype):
     """
     dc = jnp.asarray(DDC, dtype)
     hi = lo + dc
-    f_lo = secular(omega / lo, omega)
-    s_lo = f_lo > 0
-    # KR interior points plus the bracket top (frac 1.0), so the
-    # final bracket's endpoint values are available for the secant
-    fracs = jnp.arange(1, KR + 2, dtype=dtype) / (KR + 1)  # (KR+1,)
+    # fracs 0..1 inclusive: the bracket bottom (frac 0) rides along in
+    # the SAME kernel call as the KR interior points and the top —
+    # its value supplies the flip-direction sign and the secant's
+    # f_lo, eliminating the separate f_lo kernel invocation (the
+    # extra lane per period pads into the same 128-lane tile)
+    fracs = jnp.arange(0, KR + 2, dtype=dtype) / (KR + 1)  # (KR+2,)
 
     def body(_, st):
         lo_c, hi_c, f_lo_c, f_hi_c = st
         pts = lo_c[..., None] + (hi_c - lo_c)[..., None] * fracs
         vals = secular(omega[..., None] / pts, omega[..., None])
-        diff = (vals > 0) != s_lo[..., None]          # (P, KR+1)
+        s_lo = vals[..., 0] > 0
+        diff = (vals[..., 1:] > 0) != s_lo[..., None]  # (P, KR+1)
         idx = jnp.argmax(diff, axis=-1)               # first flip
         # no flip found (all same sign, can happen on a degenerate
         # bracket): keep the top point so the bracket stays put
         idx = jnp.where(jnp.any(diff, axis=-1), idx, KR)
-        hi_n = jnp.take_along_axis(pts, idx[..., None],
+        hi_n = jnp.take_along_axis(pts[..., 1:], idx[..., None],
                                    axis=-1)[..., 0]
-        f_hi_n = jnp.take_along_axis(vals, idx[..., None],
+        f_hi_n = jnp.take_along_axis(vals[..., 1:], idx[..., None],
                                      axis=-1)[..., 0]
-        lo_x = jnp.concatenate([lo_c[..., None], pts], axis=-1)
-        f_lo_x = jnp.concatenate([f_lo_c[..., None], vals], axis=-1)
-        lo_n = jnp.take_along_axis(lo_x, idx[..., None],
+        # new-lo candidates are fracs 0..KR (the point below each flip)
+        lo_n = jnp.take_along_axis(pts[..., :-1], idx[..., None],
                                    axis=-1)[..., 0]
-        f_lo_n = jnp.take_along_axis(f_lo_x, idx[..., None],
+        f_lo_n = jnp.take_along_axis(vals[..., :-1], idx[..., None],
                                      axis=-1)[..., 0]
         return lo_n, hi_n, f_lo_n, f_hi_n
 
-    st0 = (lo, hi, f_lo, jnp.zeros_like(f_lo))
+    zero_f = jnp.zeros(jnp.broadcast_shapes(lo.shape, omega.shape),
+                       dtype)
+    st0 = (lo, hi, zero_f, zero_f)
     lo, hi, f_lo, f_hi = lax.fori_loop(0, niter, body, st0)
 
     denom = f_hi - f_lo
@@ -584,12 +600,11 @@ def _find_brackets_b(omega, cm, betmx, secular, mode, K, nblocks,
 def _ring_brackets_b(omega, c_prev, cm, betmx, secular, K, max_trips,
                      dtype):
     """Batched :func:`_ring_brackets`: omega/c_prev (C, R),
-    cm/betmx (C, 1)."""
+    cm/betmx (C, 1).  As there, the center-point sign is fused into
+    the first trip's kernel call (one secular invocation per trip)."""
     P = omega.shape
     dc = jnp.asarray(DDC, dtype)
     ksteps = jnp.arange(1, K + 1, dtype=dtype) * dc   # (K,)
-
-    s0 = secular(omega / c_prev, omega) > 0
 
     def cond(st):
         t, _, _, found, dead, _ = st
@@ -603,13 +618,18 @@ def _ring_brackets_b(omega, c_prev, cm, betmx, secular, K, max_trips,
 
         validR = ptsR <= betmx[..., None] + dc
         validL = ptsL >= cm[..., None]
-        pts = jnp.concatenate([ptsR, ptsL], axis=-1)
+        pts = jnp.concatenate([c_prev[..., None], ptsR, ptsL],
+                              axis=-1)
         sg = secular(omega[..., None] / pts, omega[..., None]) > 0
-        sgR, sgL = sg[..., :K], sg[..., K:]
+        s0 = sg[..., 0]
+        sgR, sgL = sg[..., 1:K + 1], sg[..., K + 1:]
+        first = t == 0
+        sR_c = jnp.where(first, s0, sR)
+        sL_c = jnp.where(first, s0, sL)
 
-        allR = jnp.concatenate([sR[..., None], sgR], axis=-1)
+        allR = jnp.concatenate([sR_c[..., None], sgR], axis=-1)
         flipR = (allR[..., 1:] != allR[..., :-1]) & validR
-        allL = jnp.concatenate([sL[..., None], sgL], axis=-1)
+        allL = jnp.concatenate([sL_c[..., None], sgL], axis=-1)
         flipL = (allL[..., 1:] != allL[..., :-1]) & validL
 
         jR = jnp.argmax(flipR, axis=-1)
@@ -627,11 +647,12 @@ def _ring_brackets_b(omega, c_prev, cm, betmx, secular, K, max_trips,
 
         dead = dead | (jnp.logical_not(validR[..., 0])
                        & jnp.logical_not(validL[..., 0]))
-        sR = jnp.where(validR[..., -1], sgR[..., -1], sR)
-        sL = jnp.where(validL[..., -1], sgL[..., -1], sL)
+        sR = jnp.where(validR[..., -1], sgR[..., -1], sR_c)
+        sL = jnp.where(validL[..., -1], sgL[..., -1], sL_c)
         return (t + 1, sL, sR, found, dead, lo)
 
-    st0 = (jnp.asarray(0), s0, s0, jnp.zeros(P, bool),
+    sfalse = jnp.zeros(P, bool)
+    st0 = (jnp.asarray(0), sfalse, sfalse, jnp.zeros(P, bool),
            jnp.zeros(P, bool),
            jnp.broadcast_to(cm, P).astype(dtype))
     _, _, _, found, _, lo = lax.while_loop(cond, body, st0)
@@ -749,6 +770,12 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
             anc = np.array([0, nper_l - 1], np.int32)
             om_anc = omegas[:, anc]
             cp_anc = cp[:, anc]
+            # env overrides for same-session (width x trips) A/B
+            anchor_halfwidth = int(os.environ.get(
+                'BAYHUNTER_ANCHOR_RING', str(anchor_halfwidth)))
+            anchor_trips_cap = int(os.environ.get(
+                'BAYHUNTER_ANCHOR_CAP', str(anchor_trips_cap or 0))) \
+                or None
             trips_anc = max(1, (kblock * nblocks) // anchor_halfwidth)
             if anchor_trips_cap is not None:
                 trips_anc = min(trips_anc, anchor_trips_cap)

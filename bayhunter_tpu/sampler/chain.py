@@ -28,6 +28,7 @@ and resorts; death gathers left over the removed slot.  A proposal with
 clamping logic leaks into the statistics.
 """
 
+import os
 import typing
 from functools import partial
 
@@ -381,13 +382,16 @@ def build_sampler(eval_fn, cfg):
         # birth/death jump far (anchor-recentered resid p90 ~10
         # steps), vs moves reach p99.9 ~11 steps / max ~26, while
         # z and vp/vs moves shift < 1 step at p99.9 — their solves
-        # run a cheaper narrow ring.
+        # run a cheaper narrow ring.  Env overrides exist for
+        # same-session A/B of the (width x trips) tradeoff at fixed
+        # coverage (see evaluator warm_trips_cap).
         if isinstance(move_id, int):
             if move_id in (MOVE_BIRTH, MOVE_DEATH):
-                return 24
+                return int(os.environ.get('BAYHUNTER_DIM_RING', '24'))
             if move_id in (MOVE_Z, MOVE_VPVS):
-                return 8
-        return 16
+                return int(os.environ.get('BAYHUNTER_NARROW_RING',
+                                          '8'))
+        return int(os.environ.get('BAYHUNTER_PERT_RING', '16'))
 
     def propose(state, move_id):
         """Draw a proposal (no forward solve); per chain."""

@@ -77,6 +77,9 @@ _USE_PALLAS_RF = os.environ.get('BAYHUNTER_PALLAS_RF', '1') == '1'
 
 # warm-ring trip cap for the batch SWD path; 0 disables the cap
 _WARM_TRIPS_CAP = int(os.environ.get('BAYHUNTER_WARM_CAP', '2')) or None
+# dimension-move override (A/B of width x trips at fixed coverage);
+# unset -> same cap as perturbation moves
+_DIM_TRIPS_CAP = int(os.environ.get('BAYHUNTER_DIM_CAP', '0')) or None
 
 
 def _covariance_kind(target, corr_fixed, corr_value):
@@ -336,7 +339,9 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             # start means the proposal moved the dispersion curve
             # >~0.2 km/s somewhere -> hopeless -> sentinel-reject
             # instead of paying the batch-max ring walk every step
-            cap = _WARM_TRIPS_CAP if c_prev is not None else None
+            cap = (_DIM_TRIPS_CAP or _WARM_TRIPS_CAP) if dim_move \
+                else _WARM_TRIPS_CAP
+            cap = cap if c_prev is not None else None
             cg, err, roots = surfdisp_roots_batch(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
