@@ -9,6 +9,9 @@ Variants (each its own process — the warm cap is read at import):
   nocap       BAYHUNTER_WARM_CAP disabled
   randomscan  per-step random-scan dispatch instead of fused cycles
   dofcorr     gauss_dof_correction=True (sigma_RF unbiased law)
+  pt          parallel tempering (ntemps=3, tmax=25, NCHAINS cold
+              chains + 2 heated rungs each) — the cold posterior must
+              match base within Monte Carlo error
 
 Usage:
   python scripts/ab_layer_posterior.py VARIANT [nchains] [burnin] [main]
@@ -39,7 +42,7 @@ BURNIN = int(argv[3]) if len(argv) > 3 else 2048 * 16
 MAIN = int(argv[4]) if len(argv) > 4 else 2048 * 8
 
 assert VARIANT in ('base', 'hostslot', 'nocap', 'randomscan',
-                   'dofcorr'), VARIANT
+                   'dofcorr', 'pt'), VARIANT
 if VARIANT == 'nocap':
     os.environ['BAYHUNTER_WARM_CAP'] = '0'   # before package import
 
@@ -139,6 +142,9 @@ def main():
         initparams['dim_mixture'] = 'host'
     if VARIANT == 'dofcorr':
         initparams['gauss_dof_correction'] = True
+    if VARIANT == 'pt':
+        initparams.update({'ntemps': 3, 'tmax': 25.0,
+                           'swap_every': 1})
 
     t0 = time.time()
     optimizer = MCMC_Optimizer(targets, initparams=initparams,
