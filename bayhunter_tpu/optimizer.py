@@ -119,11 +119,21 @@ class MCMC_Optimizer(object):
                 tmax=float(self.initparams.get('tmax', 1000.0)),
                 swap_every=int(self.initparams.get('swap_every', 1)),
                 dtype=dtype)
+            # burn-in ladder adaptation toward equal adjacent swap
+            # rates (frozen for the main phase); see tempering.
+            # adapt_ladder
+            self._ladder_adapt = bool(
+                self.initparams.get('adapt_ladder', True))
+            self._ladder_rung_betas = None   # lazily from states.beta
+            self._ladder_prev = None
+            self._ladder_nupd = 0
             logger.info(
                 '> Parallel tempering: %d rungs (tmax %.1f), swap '
-                'sweep every %d cycles.'
+                'sweep every %d cycles%s.'
                 % (self.ntemps, self.tempering_plan.tmax,
-                   self.tempering_plan.swap_every))
+                   self.tempering_plan.swap_every,
+                   ', burn-in ladder adaptation on'
+                   if self._ladder_adapt else ''))
 
         logger.info('> %d chain(s) are initiated on %d device(s)...'
                     % (self.nchains, ndev))
@@ -238,6 +248,10 @@ class MCMC_Optimizer(object):
             it_done += step
             it_global += step
 
+            if (phase_id == 1 and self.tempering_plan is not None
+                    and getattr(self, '_ladder_adapt', False)):
+                states = self._maybe_adapt_ladder(states)
+
             if not calibrated and step == seg:
                 calibrated = True
                 seg_new = int(np.clip(seg * target_s / max(dt_seg, 1e-3),
@@ -319,6 +333,43 @@ class MCMC_Optimizer(object):
         snapshots = {k: np.stack([p[k] for p in parts], axis=1)
                      for k in parts[0]}
         return states, snapshots
+
+    def _maybe_adapt_ladder(self, states):
+        """One burn-in ladder-adaptation step: nudge the temperature
+        gaps toward equal adjacent swap rates (tempering.adapt_ladder)
+        once every gap has accumulated enough windowed proposals.
+        Returns the (possibly beta-updated) states."""
+        from bayhunter_tpu.sampler import tempering as tp
+        plan = self.tempering_plan
+        acc, prop = jax.device_get(
+            (states.swap_accepted, states.swap_proposed))
+        rates, nprop = tp.rung_swap_rates(acc, prop, plan.ntemps,
+                                          prev=self._ladder_prev)
+        if nprop.min() < 64:
+            return states
+        if self._ladder_rung_betas is None:
+            # from the live state, so a resumed run continues its own
+            # (possibly already adapted) ladder
+            self._ladder_rung_betas = np.asarray(
+                jax.device_get(states.beta[:plan.ntemps]), float)
+        self._ladder_prev = (acc, prop)
+        self._ladder_nupd += 1
+        step = 0.6 / (1.0 + self._ladder_nupd / 10.0)
+        self._ladder_rung_betas = tp.adapt_ladder(
+            self._ladder_rung_betas, rates, step)
+        betas = np.tile(self._ladder_rung_betas,
+                        self.nchains_padded // plan.ntemps)
+        self.tempering_plan = plan._replace(betas=betas)
+        new_beta = jax.device_put(
+            jnp.asarray(betas, states.beta.dtype),
+            states.beta.sharding)
+        logger.debug('> ladder adapted (update %d): swap rates %s, '
+                     'betas %s'
+                     % (self._ladder_nupd,
+                        np.round(rates, 2).tolist(),
+                        np.round(self._ladder_rung_betas,
+                                 4).tolist()))
+        return states._replace(beta=new_beta)
 
     def _publish(self, socket, snaps):
         """Latest-state telemetry in the reference BayWatch wire layout

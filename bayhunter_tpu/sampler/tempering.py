@@ -147,6 +147,53 @@ def _bcast(mask, x):
     return mask.reshape(mask.shape + (1,) * (x.ndim - 1))
 
 
+def rung_swap_rates(swap_accepted, swap_proposed, ntemps, prev=None):
+    """Windowed per-gap swap acceptance rates.
+
+    Gap ``r`` (r = 0..ntemps-2) is the exchange between rungs r and
+    r+1, counted at the colder member (slot rung == r).  ``prev``
+    optionally holds a prior (accepted, proposed) cumulative snapshot;
+    the returned rates cover only the window since then.  Returns
+    ``(rates, proposed_per_gap)``.
+    """
+    acc = np.asarray(swap_accepted).astype(np.int64)
+    prop = np.asarray(swap_proposed).astype(np.int64)
+    if prev is not None:
+        acc = acc - np.asarray(prev[0], np.int64)
+        prop = prop - np.asarray(prev[1], np.int64)
+    rung = np.arange(acc.shape[0]) % ntemps
+    rates = np.zeros(ntemps - 1)
+    nprop = np.zeros(ntemps - 1, np.int64)
+    for r in range(ntemps - 1):
+        m = rung == r
+        nprop[r] = prop[m].sum()
+        rates[r] = acc[m].sum() / max(nprop[r], 1)
+    return rates, nprop
+
+
+def adapt_ladder(rung_betas, rates, step):
+    """One stochastic-approximation update of the temperature ladder
+    toward equal adjacent swap rates (Vousden et al. 2016 style,
+    with both ends anchored).
+
+    The log gap ``S_r = log(T_r - T_{r-1})`` of each adjacent pair
+    grows when its swap rate exceeds the mean and shrinks when below;
+    the gaps are then rescaled so T_0 = 1 and T_{ntemps-1} keep their
+    values.  Fixed point: all adjacent rates equal.  ``step`` is the
+    (decaying) adaptation gain.
+    """
+    T = 1.0 / np.asarray(rung_betas, float)
+    N = T.size
+    if N < 3:
+        return np.asarray(rung_betas, float)
+    S = np.log(np.diff(T))
+    S = S + step * (rates - rates.mean())
+    gaps = np.exp(S)
+    gaps = gaps * (T[-1] - T[0]) / gaps.sum()   # re-anchor the top
+    T_new = T[0] + np.concatenate([[0.0], np.cumsum(gaps)])
+    return 1.0 / T_new
+
+
 class TemperingPlan(typing.NamedTuple):
     """Host-side bookkeeping for a tempered run."""
     ntemps: int

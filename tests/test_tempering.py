@@ -269,6 +269,83 @@ def test_tempering_hops_modes():
 
 
 # ---------------------------------------------------------------------------
+# ladder adaptation
+# ---------------------------------------------------------------------------
+
+def test_adapt_ladder_equalizes_rates():
+    """The stochastic-approximation update widens high-rate gaps and
+    narrows low-rate gaps, keeps both anchors, and is a no-op at the
+    equal-rate fixed point."""
+    betas = tempering.make_ladder(4, 100.0)
+    rates = np.array([0.8, 0.3, 0.3])   # gap 0 swaps too easily
+    out = tempering.adapt_ladder(betas, rates, step=0.5)
+    T0, T1 = 1.0 / betas, 1.0 / out
+    np.testing.assert_allclose(T1[0], 1.0)
+    np.testing.assert_allclose(T1[-1], T0[-1])
+    # gap 0 must widen (relative to the others)
+    g0 = np.diff(T0) / (T0[-1] - 1.0)
+    g1 = np.diff(T1) / (T1[-1] - 1.0)
+    assert g1[0] > g0[0]
+    assert np.all(np.diff(1.0 / out) > 0)   # still a proper ladder
+    # fixed point: equal rates leave the ladder untouched
+    same = tempering.adapt_ladder(betas, np.full(3, 0.4), step=0.5)
+    np.testing.assert_allclose(same, betas, rtol=1e-12)
+
+
+def test_rung_swap_rates_windowed():
+    acc = np.array([3, 0, 1, 0, 5, 0, 0, 0])     # 2 groups x 4 rungs
+    prop = np.array([10, 5, 2, 0, 10, 5, 2, 0])
+    rates, nprop = tempering.rung_swap_rates(acc, prop, 4)
+    np.testing.assert_allclose(rates, [8 / 20, 0 / 10, 1 / 4])
+    np.testing.assert_array_equal(nprop, [20, 10, 4])
+    prev = (acc // 2, prop // 2)
+    rates_w, nprop_w = tempering.rung_swap_rates(acc, prop, 4,
+                                                 prev=prev)
+    np.testing.assert_array_equal(nprop_w, [10, 6, 2])
+
+
+def test_optimizer_ladder_adaptation_runs():
+    """Burn-in ladder adaptation on the cheap analytic evaluator:
+    the per-gap swap rates must spread less after adaptation than the
+    initial geometric ladder's, and the adapted ladder must stay
+    anchored and monotone."""
+    smp = _build(centers=(3.2,), width=0.05)
+    smp, plan = tempering.attach(smp, 128, ntemps=4, tmax=500.0,
+                                 swap_every=1, dtype=DTYPE)
+    s = smp.init_states_host(9, 128, betas=plan.betas)
+
+    it = int(np.asarray(s.iiter)[0])
+    prev = None
+    rung_betas = np.asarray(plan.betas[:4], float)
+    rates0 = None
+    nupd = 0
+    for seg in range(12):
+        s = dispatch_cycles(smp, s, it, 128)
+        it += 128
+        rates, nprop = tempering.rung_swap_rates(
+            s.swap_accepted, s.swap_proposed, 4, prev=prev)
+        if nprop.min() < 64:
+            continue
+        if rates0 is None:
+            rates0 = rates
+        prev = (np.asarray(s.swap_accepted),
+                np.asarray(s.swap_proposed))
+        nupd += 1
+        rung_betas = tempering.adapt_ladder(rung_betas, rates,
+                                            0.6 / (1 + nupd / 10))
+        betas = np.tile(rung_betas, 32)
+        s = s._replace(beta=jnp.asarray(betas, DTYPE))
+    ratesN, _ = tempering.rung_swap_rates(
+        s.swap_accepted, s.swap_proposed, 4, prev=prev)
+    assert nupd >= 3
+    assert np.all(np.diff(1.0 / rung_betas) > 0)
+    np.testing.assert_allclose(rung_betas[0], 1.0)
+    np.testing.assert_allclose(rung_betas[-1], 1.0 / 500.0)
+    # adapted windowed rates must be less spread than the first window
+    assert ratesN.max() - ratesN.min() <= rates0.max() - rates0.min()
+
+
+# ---------------------------------------------------------------------------
 # optimizer integration (real forward solver, tiny run)
 # ---------------------------------------------------------------------------
 
