@@ -764,7 +764,26 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
 
     if c_prev is not None:
         cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
-        if anchor_warm:
+        prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'anchor')
+        if anchor_warm and prepass == 'newton':
+            # one-call Newton recentering: secular value AND slope at
+            # c_prev from the same kernel call (the per-layer
+            # renormalization scale is arbitrary but IDENTICAL within
+            # one call, so their ratio is scale-free).  Valid where
+            # the secular function is locally smooth — the common
+            # case; overshooting lanes miss the main ring and fall
+            # into the existing cap-reject path.  A/B alternative to
+            # the 2-lane anchor ring (BAYHUNTER_DIM_PREPASS=anchor).
+            eps = jnp.asarray(DDC / 16.0, dtype)
+            pts = jnp.stack([cp, cp + eps], axis=-1)     # (C, R, 2)
+            vals = secular(omegas[..., None] / pts, omegas[..., None])
+            slope = (vals[..., 1] - vals[..., 0]) / eps
+            slope = jnp.where(slope == 0.0, 1.0, slope)
+            shift = -vals[..., 0] / slope
+            maxshift = 3.0 * anchor_halfwidth * DDC
+            shift = jnp.clip(shift, -maxshift, maxshift)
+            cp = jnp.clip(cp + shift, cm, betmx)
+        elif anchor_warm:
             nper_l = t.shape[0]
             R = omegas.shape[1]
             anc = np.array([0, nper_l - 1], np.int32)

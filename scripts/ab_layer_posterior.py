@@ -12,6 +12,10 @@ Variants (each its own process — the warm cap is read at import):
   pt          parallel tempering (ntemps=3, tmax=25, NCHAINS cold
               chains + 2 heated rungs each) — the cold posterior must
               match base within Monte Carlo error
+  newton      BAYHUNTER_DIM_PREPASS=newton (one-call Newton
+              recentering of the dim-move warm ring instead of the
+              2-lane anchor ring; higher cap-reject rate, must not
+              shift the posterior)
 
 Usage:
   python scripts/ab_layer_posterior.py VARIANT [nchains] [burnin] [main]
@@ -42,9 +46,11 @@ BURNIN = int(argv[3]) if len(argv) > 3 else 2048 * 16
 MAIN = int(argv[4]) if len(argv) > 4 else 2048 * 8
 
 assert VARIANT in ('base', 'hostslot', 'nocap', 'randomscan',
-                   'dofcorr', 'pt'), VARIANT
+                   'dofcorr', 'pt', 'newton'), VARIANT
 if VARIANT == 'nocap':
     os.environ['BAYHUNTER_WARM_CAP'] = '0'   # before package import
+if VARIANT == 'newton':
+    os.environ['BAYHUNTER_DIM_PREPASS'] = 'newton'
 
 sys.path.insert(0, op.join(op.dirname(__file__), '..'))
 
