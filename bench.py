@@ -143,6 +143,7 @@ def main():
     proposals = total * NCHAINS
     rate = proposals / dt
     norm = _normalizer_gflops()
+    ff, pp = jax.device_get((states.fwdfail, states.proposed))
     print(json.dumps({
         'metric': 'joint SWD+RF McMC proposal throughput '
                   '(%d chains, 1 chip)' % NCHAINS,
@@ -153,6 +154,12 @@ def main():
             'session_normalizer_bf16_matmul_gflops': round(norm, 1),
             'iters_timed': total,
             'nchains': NCHAINS,
+            # warm-cap sentinel rejects (forward-solve failures), as
+            # % of valid proposals; slot 2 = birth/death
+            'fwd_reject_pct': round(
+                100.0 * ff.sum() / max(pp.sum(), 1), 3),
+            'fwd_reject_dim_pct': round(
+                100.0 * ff[:, 2].sum() / max(pp[:, 2].sum(), 1), 3),
         },
     }))
 

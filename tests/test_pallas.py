@@ -371,3 +371,40 @@ def test_batch_solver_anchor_warm_and_caps():
     assert not np.any(np.asarray(err_unc)[1:])
     _assert_roots_close(np.asarray(cg_unc)[1:],
                         np.asarray(cg0)[1:])
+
+
+def test_batch_solver_newton_prepass(monkeypatch):
+    """BAYHUNTER_DIM_PREPASS=newton: the one-call Newton recentering
+    must agree with the anchor-ring recentering for well-behaved
+    perturbations (same warm-search semantics afterwards)."""
+    import os
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+    rs = np.random.RandomState(16)
+    NL, C = 9, 6
+    per = jnp.asarray(np.linspace(2, 35, 9), jnp.float32)
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 5)
+        z = np.sort(rs.uniform(2, 50, nlay))
+        v = np.sort(rs.uniform(2.3, 4.5, nlay))
+        H[i, :nlay - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :nlay] = v
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    args = [jnp.asarray(x) for x in (H, VP, VS, RHO)]
+
+    _, err0, roots = surfdisp_roots_batch(*args, per, interpret=True)
+    assert not np.any(np.asarray(err0))
+
+    rp = roots + 0.011   # off-grid displacement, ~2 DDC steps
+    w_anchor = surfdisp_roots_batch(*args, per, c_prev=rp,
+                                    anchor_warm=True,
+                                    interpret=True)[0]
+    monkeypatch.setenv('BAYHUNTER_DIM_PREPASS', 'newton')
+    w_newton, err_n, _ = surfdisp_roots_batch(
+        *args, per, c_prev=rp, anchor_warm=True, interpret=True)
+    assert not np.any(np.asarray(err_n))
+    _assert_roots_close(w_newton, w_anchor)
