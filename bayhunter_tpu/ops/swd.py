@@ -764,7 +764,7 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
 
     if c_prev is not None:
         cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
-        prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'anchor')
+        prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'newton')
         if anchor_warm and prepass == 'newton':
             # one-call Newton recentering: secular value AND slope at
             # c_prev from the same kernel call (the per-layer
@@ -772,8 +772,13 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
             # one call, so their ratio is scale-free).  Valid where
             # the secular function is locally smooth — the common
             # case; overshooting lanes miss the main ring and fall
-            # into the existing cap-reject path.  A/B alternative to
-            # the 2-lane anchor ring (BAYHUNTER_DIM_PREPASS=anchor).
+            # into the existing cap-reject path.  PRODUCTION DEFAULT:
+            # +11% end-to-end vs the 2-lane anchor ring
+            # (BAYHUNTER_DIM_PREPASS=anchor restores it), posterior
+            # identical at reference scale (VALIDATION.md newton row)
+            # at a higher dim cap-reject rate (9.8% vs 6.0% measured
+            # mid-burn-in) — the same immaterial failure class the
+            # nocap A/B bounds.
             eps = jnp.asarray(DDC / 16.0, dtype)
             pts = jnp.stack([cp, cp + eps], axis=-1)     # (C, R, 2)
             vals = secular(omegas[..., None] / pts, omegas[..., None])
