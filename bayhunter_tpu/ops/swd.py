@@ -765,7 +765,12 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
     if c_prev is not None:
         cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
         prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'newton')
-        if anchor_warm and prepass == 'newton':
+        # A/B: extend the Newton recentering to perturbation-move
+        # warm solves as well (costs one extra kernel call per solve;
+        # pays when the ring's second trip would otherwise run)
+        pert_newton = (not anchor_warm) and os.environ.get(
+            'BAYHUNTER_PERT_PREPASS', '') == 'newton'
+        if (anchor_warm and prepass == 'newton') or pert_newton:
             # one-call Newton recentering: secular value AND slope at
             # c_prev from the same kernel call (the per-layer
             # renormalization scale is arbitrary but IDENTICAL within
