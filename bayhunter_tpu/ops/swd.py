@@ -659,6 +659,51 @@ def _ring_brackets_b(omega, c_prev, cm, betmx, secular, K, max_trips,
     return lo, found
 
 
+def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
+                                 c_prevs=None, iwave=2, mode=1,
+                                 iflsph=0, kblock=64, nblocks=16,
+                                 krefine=15, nrefine=None,
+                                 warm_halfwidth=16,
+                                 anchor_warm=False,
+                                 anchor_halfwidth=64,
+                                 warm_trips_cap=None,
+                                 anchor_trips_cap=3, interpret=False):
+    """Solve SEVERAL same-wave-type dispersion targets of one model
+    batch in shared kernel calls.
+
+    The secular kernel is VPU-compute-bound with a significant fixed
+    per-invocation cost (see _ring_brackets), so targets sharing the
+    same wave type (e.g. Rayleigh phase + Rayleigh group of a joint
+    inversion) concatenate their phase-velocity lanes and ride the
+    same bracketing/refinement calls — halving the kernel-call count
+    of a multi-SWD-target sampling step.
+
+    ``periods_list`` per-target period arrays; ``igrs`` matching
+    tuple of igr flags; ``c_prevs`` matching list of warm roots
+    ``(C, R_i)`` (``R_i = nper`` for phase, ``2*nper`` for group
+    targets), or None for a cold counting search shared by all.
+
+    The dimension-move recentering inside a grouped WARM solve is the
+    per-lane Newton prepass (the 2-lane anchor-ring prepass is only
+    available ungrouped); refinement runs the max pass count any
+    member needs — a group-velocity member lifts phase members to 3
+    passes, strictly more accurate.
+
+    Returns a list of ``(cg, err, roots)`` per target.
+    """
+    return _roots_batch_impl(h, vp, vs, rho, tuple(periods_list),
+                             tuple(igrs), c_prevs,
+                             iwave=iwave, mode=mode, iflsph=iflsph,
+                             kblock=kblock, nblocks=nblocks,
+                             krefine=krefine, nrefine=nrefine,
+                             warm_halfwidth=warm_halfwidth,
+                             anchor_warm=anchor_warm,
+                             anchor_halfwidth=anchor_halfwidth,
+                             warm_trips_cap=warm_trips_cap,
+                             anchor_trips_cap=anchor_trips_cap,
+                             interpret=interpret)
+
+
 def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          iwave=2, mode=1, igr=0, iflsph=0, kblock=64,
                          nblocks=16, krefine=15, nrefine=None,
@@ -698,17 +743,40 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
     mode (getsol search failure -> err -> rejected proposal,
     surfdisp96.f:429-447, src/surf96_modsw.py:119-126).
     """
+    out = _roots_batch_impl(
+        h, vp, vs, rho, (periods,), (igr,),
+        None if c_prev is None else [c_prev],
+        iwave=iwave, mode=mode, iflsph=iflsph, kblock=kblock,
+        nblocks=nblocks, krefine=krefine, nrefine=nrefine,
+        warm_halfwidth=warm_halfwidth, anchor_warm=anchor_warm,
+        anchor_halfwidth=anchor_halfwidth,
+        warm_trips_cap=warm_trips_cap,
+        anchor_trips_cap=anchor_trips_cap, interpret=interpret)
+    return out[0]
+
+
+def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
+                      iwave=2, mode=1, iflsph=0, kblock=64,
+                      nblocks=16, krefine=15, nrefine=None,
+                      warm_halfwidth=16, anchor_warm=False,
+                      anchor_halfwidth=64, warm_trips_cap=None,
+                      anchor_trips_cap=3, interpret=False):
+    """Shared body of surfdisp_roots_batch{,_grouped}: one bracketing
+    + refinement pipeline over the concatenation of every target's
+    phase-velocity lanes."""
     from bayhunter_tpu.ops.pallas_secular import (dltar1_pallas,
                                                   dltar4_pallas)
 
     dtype = h.dtype
     C = h.shape[0]
+    ngroups = len(periods_list)
     if nrefine is None:
         # the closing secant polish makes one sign pass (bracket
         # dc/16) sufficient for phase solves; group solves difference
         # two phase solves 1% apart, amplifying worst-case bracket
-        # error ~100x, so they keep the pure-sign dc/16^3 guarantee
-        nrefine = 3 if (dtype == jnp.float64 or igr > 0) \
+        # error ~100x, so they keep the pure-sign dc/16^3 guarantee —
+        # and lift every member of a shared solve with them
+        nrefine = 3 if (dtype == jnp.float64 or any(igrs)) \
             else (NREFINE_F32 or 1)
 
     if iflsph == 1:
@@ -752,17 +820,31 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                                  interpret=interpret)
         return vals[:, :n0].reshape(shape)
 
-    t = periods.astype(dtype)
-    if igr > 0:
-        t1a = t / (1.0 + HGR)
-        t1b = t / (1.0 - HGR)
-        omegas = jnp.broadcast_to(
-            TWOPI / jnp.concatenate([t1a, t1b]),
-            (C, 2 * t.shape[0]))
-    else:
-        omegas = jnp.broadcast_to(TWOPI / t, (C, t.shape[0]))
+    # per-target lane segments: a phase target contributes R lanes, a
+    # group target 2R (the t/(1±h) half-solves); slices are static
+    t_list, t1_list, om_segs, slices = [], [], [], []
+    off = 0
+    for t_raw, igr_t in zip(periods_list, igrs):
+        t_l = t_raw.astype(dtype)
+        t_list.append(t_l)
+        if igr_t > 0:
+            t1a = t_l / (1.0 + HGR)
+            t1b = t_l / (1.0 - HGR)
+            t1_list.append((t1a, t1b))
+            om = TWOPI / jnp.concatenate([t1a, t1b])
+        else:
+            t1_list.append(None)
+            om = TWOPI / t_l
+        om_segs.append(om)
+        slices.append((off, off + om.shape[0]))
+        off += om.shape[0]
+    omegas = jnp.broadcast_to(
+        om_segs[0] if ngroups == 1 else jnp.concatenate(om_segs),
+        (C, off))
 
-    if c_prev is not None:
+    if c_prevs is not None:
+        c_prev = c_prevs[0] if ngroups == 1 \
+            else jnp.concatenate([cpv for cpv in c_prevs], axis=-1)
         cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
         prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'newton')
         # A/B: extend the Newton recentering to perturbation-move
@@ -794,6 +876,12 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
             shift = jnp.clip(shift, -maxshift, maxshift)
             cp = jnp.clip(cp + shift, cm, betmx)
         elif anchor_warm:
+            if ngroups != 1:
+                raise ValueError(
+                    'the anchor-ring prepass supports only ungrouped '
+                    'solves; grouped dimension-move solves use the '
+                    'newton prepass')
+            t = t_list[0]
             nper_l = t.shape[0]
             R = omegas.shape[1]
             anc = np.array([0, nper_l - 1], np.int32)
@@ -828,20 +916,27 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                                      kblock, nblocks, dtype)
     c = _ksection_refine(omegas, lo, secular, krefine, nrefine, dtype)
 
-    nper = t.shape[0]
-    if igr > 0:
-        ca, cb = c[:, :nper], c[:, nper:]
-        ok = found[:, :nper] & found[:, nper:]
-        out = ((1.0 / t1a - 1.0 / t1b)
-               / (1.0 / (t1a * ca) - 1.0 / (t1b * cb)))
-    else:
-        ok = found
-        out = c
+    outs = []
+    for t_l, t1, (s0, s1), igr_t in zip(t_list, t1_list, slices,
+                                        igrs):
+        c_seg = c[:, s0:s1]
+        found_seg = found[:, s0:s1]
+        nper = t_l.shape[0]
+        if igr_t > 0:
+            t1a, t1b = t1
+            ca, cb = c_seg[:, :nper], c_seg[:, nper:]
+            ok = found_seg[:, :nper] & found_seg[:, nper:]
+            out = ((1.0 / t1a - 1.0 / t1b)
+                   / (1.0 / (t1a * ca) - 1.0 / (t1b * cb)))
+        else:
+            ok = found_seg
+            out = c_seg
 
-    failed_cum = jnp.cumsum(jnp.logical_not(ok), axis=-1) > 0
-    cg = jnp.where(failed_cum, 0.0, out)
-    err = jnp.any(jnp.logical_not(ok), axis=-1)
-    return cg, err, c
+        failed_cum = jnp.cumsum(jnp.logical_not(ok), axis=-1) > 0
+        cg = jnp.where(failed_cum, 0.0, out)
+        err = jnp.any(jnp.logical_not(ok), axis=-1)
+        outs.append((cg, err, c_seg))
+    return outs
 
 
 # --------------------------------------------------------------------------

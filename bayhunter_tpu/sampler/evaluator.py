@@ -363,6 +363,57 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
           c_prev if spec.kind == 'swd' else None)
         return y, tvalid, roots
 
+    # same-wave-type SWD targets share one grouped solver call in the
+    # batch path (e.g. Rayleigh phase + Rayleigh group): the secular
+    # kernel's fixed per-invocation cost then amortizes across the
+    # targets' concatenated lanes (ops/swd.py
+    # surfdisp_roots_batch_grouped).  The grouped warm solve supports
+    # only the newton dimension prepass; with the anchor prepass
+    # configured, dimension moves fall back to per-target solves.
+    # read at build time so two evaluators with different settings can
+    # coexist in one process (BAYHUNTER_GROUP_SWD=0 disables, for A/B)
+    group_swd = os.environ.get('BAYHUNTER_GROUP_SWD', '1') == '1'
+    swd_group_of = {}
+    if group_swd:
+        by_key = {}
+        for i, spec in enumerate(specs):
+            if spec.kind == 'swd':
+                by_key.setdefault(
+                    (spec.iwave, spec.flsph, spec.mode), []).append(i)
+        for key, idxs in by_key.items():
+            if len(idxs) > 1:
+                for i in idxs:
+                    swd_group_of[i] = (key, tuple(idxs))
+    _dim_prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'newton')
+
+    def _grouped_swd_results(h, vp, vs_l, rho, cache, ring_width,
+                             dim_move):
+        """dict target-index -> (cg, err, roots) for grouped SWD
+        targets (empty when grouping is off or unusable)."""
+        if not swd_group_of or (dim_move and _dim_prepass != 'newton'):
+            return {}
+        from bayhunter_tpu.ops.swd import surfdisp_roots_batch_grouped
+        cap = (_DIM_TRIPS_CAP or _WARM_TRIPS_CAP) if dim_move \
+            else _WARM_TRIPS_CAP
+        results = {}
+        done = set()
+        for i, (key, idxs) in swd_group_of.items():
+            if idxs in done:
+                continue
+            done.add(idxs)
+            specs_g = [specs[j] for j in idxs]
+            outs = surfdisp_roots_batch_grouped(
+                h, vp, vs_l, rho,
+                [s.periods for s in specs_g],
+                [s.igr for s in specs_g],
+                [cache[j][1] for j in idxs],
+                iwave=key[0], iflsph=key[1], mode=key[2],
+                warm_halfwidth=ring_width, anchor_warm=dim_move,
+                warm_trips_cap=cap, interpret=interpret)
+            for j, out in zip(idxs, outs):
+                results[j] = out
+        return results
+
     def eval_full_batch(vs, z, n, vpvs, noise, cache, cell,
                         ring_width=16, dim_move=False):
         """Batched eval_full: all arrays carry a leading chain axis."""
@@ -376,7 +427,29 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         valid = jnp.ones((C,), bool)
         new_cache = []
 
+        grouped = _grouped_swd_results(h, vp, vs_l, rho, cache,
+                                       ring_width, dim_move)
+
         for i, spec in enumerate(specs):
+            if i in grouped:
+                cg, errg, roots = grouped[i]
+                if spec.interp_x is not None:
+                    y = jax.vmap(lambda cc: jnp.interp(
+                        spec.interp_x, spec.periods, cc))(cg)
+                else:
+                    y = cg
+                tvalid = jnp.logical_not(errg)
+                new_cache.append((y, roots))
+                yobs = jax.vmap(spec.yobs_for)(cell) \
+                    if spec.batched_obs else spec.yobs
+                ydiff = jnp.where(tvalid[:, None], y - yobs, 0.0)
+                misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2,
+                                                 axis=-1)))
+                logL = logL + jax.vmap(
+                    lambda yd, c0, s0: _loglike(spec, yd, c0, s0)
+                )(ydiff, noise[:, 2 * i], noise[:, 2 * i + 1])
+                valid = valid & tvalid
+                continue
             c_prev = cache[i][1] if spec.kind == 'swd' else None
             y, tvalid, roots = _forward_batch(spec, h, vp, vs_l, rho,
                                               c_prev, ring_width,

@@ -373,6 +373,84 @@ def test_batch_solver_anchor_warm_and_caps():
                         np.asarray(cg0)[1:])
 
 
+def test_eval_full_batch_grouped_swd_matches_ungrouped(monkeypatch):
+    """Same-wave-type SWD targets fused into shared solver calls must
+    produce the same likelihoods/misfits/validity as per-target solves
+    (all four SWD types: rayleigh/love x phase/group)."""
+    from bayhunter_tpu import Targets
+    from bayhunter_tpu.synthobs import SynthObs
+    from bayhunter_tpu.sampler.evaluator import build_evaluator
+
+    h = np.array([8., 25., 0.])
+    vs = np.array([2.9, 3.6, 4.4])
+    swd = SynthObs.return_swddata(h, vs, vpvs=1.73,
+                                  x=np.linspace(3, 35, 5))
+    targets = [
+        Targets.RayleighDispersionPhase(*map(np.asarray,
+                                             swd['rdispph'])),
+        Targets.RayleighDispersionGroup(*map(np.asarray,
+                                             swd['rdispgr'])),
+        Targets.LoveDispersionPhase(*map(np.asarray, swd['ldispph'])),
+        Targets.LoveDispersionGroup(*map(np.asarray, swd['ldispgr'])),
+    ]
+    joint = Targets.JointTarget(targets=targets)
+    priors = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 10),
+              'vpvs': 1.73, 'mohoest': None, 'mantle': None,
+              'swdnoise_corr': 0.0, 'swdnoise_sigma': (1e-5, 0.05),
+              'rfnoise_corr': 0.92, 'rfnoise_sigma': (1e-5, 0.05)}
+    initparams = {'rcond': 1e-5}
+    NL = 8
+
+    rs = np.random.RandomState(9)
+    C = 3
+    VS = np.zeros((C, NL), np.float32)
+    Z = np.zeros((C, NL), np.float32)
+    N = np.full(C, 3, np.int32)
+    for i in range(C):
+        VS[i, :3] = np.sort(rs.uniform(2.5, 4.5, 3))
+        VS[i, 3:] = VS[i, 2]
+        Z[i, :3] = np.sort(rs.uniform(3, 55, 3))
+        Z[i, 3:] = 60.0
+    VPVS = np.full(C, 1.73, np.float32)
+    NOISE = np.tile(np.array([0.0, 0.02, 0.0, 0.02,
+                              0.0, 0.02, 0.0, 0.02], np.float32),
+                    (C, 1))
+    args = (jnp.asarray(VS), jnp.asarray(Z), jnp.asarray(N),
+            jnp.asarray(VPVS), jnp.asarray(NOISE))
+    cell = jnp.zeros(C, jnp.int32)
+
+    def run(group):
+        monkeypatch.setenv('BAYHUNTER_GROUP_SWD',
+                           '1' if group else '0')
+        ev = build_evaluator(joint, priors, initparams, NL,
+                             dtype=jnp.float32, use_batch_swd=True,
+                             interpret=True)
+        _, _, _, cache = jax.jit(jax.vmap(ev.eval_cold))(*args)
+        out = ev.eval_full_batch(*args, cache, cell)
+        out_dim = ev.eval_full_batch(*args, cache, cell,
+                                     ring_width=24, dim_move=True)
+        return out, out_dim
+
+    (l1, m1, v1, c1), (ld1, md1, vd1, _) = run(group=True)
+    (l0, m0, v0, c0), (ld0, md0, vd0, _) = run(group=False)
+
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(vd1), np.asarray(vd0))
+    # grouped refinement runs >= passes of ungrouped (group members
+    # lift phase members to 3), so roots agree to the f32 secant
+    # tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=5e-4, atol=1e-5)
+    for (ya, ra), (yb, rb) in zip(c1, c0):
+        assert ya.shape == yb.shape and ra.shape == rb.shape
+        np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                                   atol=5e-4)
+
+
 def test_batch_solver_newton_prepass(monkeypatch):
     """BAYHUNTER_DIM_PREPASS=newton: the one-call Newton recentering
     must agree with the anchor-ring recentering for well-behaved
