@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bayhunter_tpu.ops.pallas_secular import DYNAMIC_NL
+
 C_TILE = 8
 
 
@@ -223,9 +225,15 @@ def _displacement(p, vp, vs):
 # the kernel
 # ----------------------------------------------------------------------
 
-def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq,
-                 h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
-                 czr_ref, czi_ref, crr_ref, cri_ref):
+def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
+                 *refs):
+    if dynamic:
+        (top_ref, h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref,
+         p_ref, czr_ref, czi_ref, crr_ref, cri_ref) = refs
+    else:
+        (h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
+         czr_ref, czi_ref, crr_ref, cri_ref) = refs
+        top_ref = None
     F = czr_ref.shape[-1]
     p = p_ref[:, 0:1]                                   # (8, 1)
 
@@ -249,21 +257,14 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq,
 
     hmat = _displacement(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
 
-    one = jnp.ones((1, F), jnp.float32)
-    zero = jnp.zeros((1, F), jnp.float32)
-    eye = ((one, zero), (zero, zero), (zero, zero), (one, zero))
-    nb, q, g = eye, eye, eye
-
-    for i in range(nl - 1):
+    def layer_parts(i):
+        """Interface coefficients and phase terms of layer i."""
         vp_l = vp_ref[:, i:i + 1]
         vs_l = vs_ref[:, i:i + 1]
         h_l = h_ref[:, i:i + 1]
         qp_l = qp_ref[:, i:i + 1]
         qs_l = qs_ref[:, i:i + 1]
-
-        if i == 0:
-            ru = _free_surface(p, vp_l, vs_l)
-        rd_next, td_i, ru_next, tu_next = _interface_coeffs(
+        coeffs = _interface_coeffs(
             p, vp_l, vs_l, rho_ref[:, i:i + 1],
             vp_ref[:, i + 1:i + 2], vs_ref[:, i + 1:i + 2],
             rho_ref[:, i + 1:i + 2])
@@ -276,15 +277,16 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq,
             arg = (w * h_l * qc[1], -w * h_l * qc[0])   # -i w h qc
             return _cexp(arg)
 
-        e1 = phase(vp_l, qp_l)
-        e2 = phase(vs_l, qs_l)
+        return coeffs, phase(vp_l, qp_l), phase(vs_l, qs_l)
 
-        # nt = ru + td_i nb q (first layer: ru alone)
-        if i == 0:
-            nt = ru
-        else:
-            t = _m4mul(_m4mul(td_i_prev, nb), q)
-            nt = tuple(_cadd(a, b) for a, b in zip(ru, t))
+    def layer_step(i, carry):
+        """Layers 1..nl-2: advance (nb, q, g, ru, td_prev)."""
+        nb, q, g, ru, td_prev = carry
+        (rd_next, td_i, ru_next, tu_next), e1, e2 = layer_parts(i)
+
+        # nt = ru + td_i-1 nb q
+        t = _m4mul(_m4mul(td_prev, nb), q)
+        nt = tuple(_cadd(a, b) for a, b in zip(ru, t))
 
         # nb = e nt e (diagonal phase sandwich)
         e11 = _cmul(e1, e1)
@@ -297,13 +299,38 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq,
         K = _m4mul(rd_next, nb)
         q = _m4mul(_m4inv_of_eye_minus(K), tu_next)
 
-        # g = g (e q) (first layer: e q)
+        # g = g (e q)
         eq = (_cmul(e1, q[0]), _cmul(e1, q[1]),
               _cmul(e2, q[2]), _cmul(e2, q[3]))
-        g = eq if i == 0 else _m4mul(g, eq)
+        return nb, q, _m4mul(g, eq), ru_next, td_i
 
-        ru = ru_next
-        td_i_prev = td_i
+    # layer 0 (free surface on top) always runs: n >= 2 guarantees a
+    # real surface layer
+    (rd_next, td_i, ru_next, tu_next), e1, e2 = layer_parts(0)
+    nt = _free_surface(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
+    e11 = _cmul(e1, e1)
+    e12 = _cmul(e1, e2)
+    e22 = _cmul(e2, e2)
+    nb = (_cmul(nt[0], e11), _cmul(nt[1], e12),
+          _cmul(nt[2], e12), _cmul(nt[3], e22))
+    K = _m4mul(rd_next, nb)
+    q = _m4mul(_m4inv_of_eye_minus(K), tu_next)
+    g = (_cmul(e1, q[0]), _cmul(e1, q[1]),
+         _cmul(e2, q[2]), _cmul(e2, q[3]))
+    carry = (nb, q, g, ru_next, td_i)
+
+    # deeper layers: skippable per tile once inside the padding region
+    # (identical media, zero thickness -> rd=0, tu=I, e=1: g invariant)
+    if top_ref is None:
+        for i in range(1, nl - 1):
+            carry = layer_step(i, carry)
+    else:
+        top = top_ref[0, 0]
+        for i in range(1, nl - 1):
+            carry = jax.lax.cond(i <= top,
+                                 functools.partial(layer_step, i),
+                                 lambda c: c, carry)
+    g = carry[2]
 
     # t = 2 h g ; pick the column of the incident wave
     t_full = _m4mul(hmat, g)
@@ -357,12 +384,36 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         return pl.BlockSpec((C_TILE, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [spec(nl)] * 6 + [spec(1)]
+    if DYNAMIC_NL:
+        # deepest layer whose update can change the response: nonzero
+        # thickness, or ANY property contrast across its lower
+        # interface (a zero-thickness layer between distinct media
+        # still reflects).  The masked padding replicates the
+        # halfspace with h=0 (ops/voronoi.py), so padded slots are
+        # never "real"; per-tile max governs the kernel's branch.
+        hh, vpp, vss, rr, qpp, qss = args[:6]
+        real = ((hh[:, :-1] > 0.0)
+                | (vpp[:, :-1] != vpp[:, 1:])
+                | (vss[:, :-1] != vss[:, 1:])
+                | (rr[:, :-1] != rr[:, 1:])
+                | (qpp[:, :-1] != qpp[:, 1:])
+                | (qss[:, :-1] != qss[:, 1:]))
+        act = real.reshape(Cp // C_TILE, C_TILE, nl - 1).any(axis=1)
+        idx = jnp.arange(nl - 1, dtype=jnp.int32)
+        top = jnp.max(jnp.where(act, idx, 0), axis=-1,
+                      keepdims=True).astype(jnp.int32)
+        args.insert(0, top)
+        in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.SMEM))
+
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
-                          int(wave_type), float(fref), nfreq),
+                          int(wave_type), float(fref), nfreq,
+                          DYNAMIC_NL),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
-        in_specs=[spec(nl)] * 6 + [spec(1)],
+        in_specs=in_specs,
         out_specs=[spec(F)] * 4,
         interpret=interpret,
     )(*args)

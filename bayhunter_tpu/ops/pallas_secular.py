@@ -14,6 +14,7 @@ program.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 C_TILE = 8
+
+# Dynamic layer-count skip (batch kernels): the masked model
+# representation pads h with EXACT zeros above the highest active
+# layer (ops/voronoi.py:60-93), so every padded slot's Dunkin/Haskell
+# update is the identity (d=0 -> cos=1, w=x=0) plus one
+# renormalization — pure wasted VPU work.  The batch wrappers compute
+# the highest active layer index per 8-chain tile on the XLA side and
+# the kernel branches each unrolled layer on it (scalar scf.if: real
+# branching in Mosaic, unlike lax.cond under an XLA scan).  Chains
+# early in a run sit far below the nl=maxlayers+1 padding width, so
+# the skip removes most of the layer loop of the hottest kernel.
+# Values differ from the full loop only by the skipped identity-layer
+# renormalizations (a positive per-lane scale; signs and root
+# positions unchanged).  BAYHUNTER_DYNAMIC_NL=0 restores the full
+# unrolled loop for A/B.
+DYNAMIC_NL = os.environ.get('BAYHUNTER_DYNAMIC_NL', '1') == '1'
+
+
+def _tile_top_layer(d, ntiles, nl):
+    """Highest layer index with nonzero thickness in any chain of each
+     8-chain tile; -1 when a tile is all-halfspace.  (T, 1) int32."""
+    act = (d > 0.0).reshape(ntiles, C_TILE, nl).any(axis=1)
+    idx = jnp.arange(nl, dtype=jnp.int32)
+    return jnp.max(jnp.where(act, idx, -1), axis=-1,
+                   keepdims=True).astype(jnp.int32)
 
 
 def _var_quantities(pq, r, prop, dpth):
@@ -42,8 +68,14 @@ def _var_quantities(pq, r, prop, dpth):
     return cos_, w_, x_, ex
 
 
-def _dltar4_kernel(nl, wvno_ref, omega_ref, d_ref, a_ref, b_ref,
-                   rho_ref, out_ref):
+def _dltar4_kernel(nl, dynamic, *refs):
+    if dynamic:
+        (top_ref, wvno_ref, omega_ref, d_ref, a_ref, b_ref, rho_ref,
+         out_ref) = refs
+    else:
+        (wvno_ref, omega_ref, d_ref, a_ref, b_ref, rho_ref,
+         out_ref) = refs
+        top_ref = None
     wvno = wvno_ref[:]            # (C_TILE, L)
     omega = jnp.maximum(omega_ref[:], 1.0e-4)
     wvno2 = wvno * wvno
@@ -68,7 +100,8 @@ def _dltar4_kernel(nl, wvno_ref, omega_ref, d_ref, a_ref, b_ref,
     e4 = rho_hs * rb
     e5 = wvno2 - ra * rb
 
-    for i in range(nl - 2, -1, -1):
+    def layer_update(i, e):
+        e1, e2, e3, e4, e5 = e
         d_l = d_ref[:, i:i + 1]
         a_l = a_ref[:, i:i + 1]
         b_l = b_ref[:, i:i + 1]
@@ -151,11 +184,23 @@ def _dltar4_kernel(nl, wvno_ref, omega_ref, d_ref, a_ref, b_ref,
         nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
         inv = 1.0 / nrm
         skip = water & (i == 0)   # water top layer handled below
-        e1 = jnp.where(skip, e1, n1 * inv)
-        e2 = jnp.where(skip, e2, n2 * inv)
-        e3 = jnp.where(skip, e3, n3 * inv)
-        e4 = jnp.where(skip, e4, n4 * inv)
-        e5 = jnp.where(skip, e5, n5 * inv)
+        return (jnp.where(skip, e1, n1 * inv),
+                jnp.where(skip, e2, n2 * inv),
+                jnp.where(skip, e3, n3 * inv),
+                jnp.where(skip, e4, n4 * inv),
+                jnp.where(skip, e5, n5 * inv))
+
+    e = (e1, e2, e3, e4, e5)
+    if top_ref is None:
+        for i in range(nl - 2, -1, -1):
+            e = layer_update(i, e)
+    else:
+        top = top_ref[0, 0]
+        for i in range(nl - 2, -1, -1):
+            e = jax.lax.cond(i <= top,
+                             functools.partial(layer_update, i),
+                             lambda e_: e_, e)
+    e1, e2 = e[0], e[1]
 
     # water-layer surface boundary (surfdisp96.f:850-869)
     a0_l = a_ref[:, 0:1]
@@ -169,11 +214,16 @@ def _dltar4_kernel(nl, wvno_ref, omega_ref, d_ref, a_ref, b_ref,
                            e1)
 
 
-def _dltar1_kernel(nl, wvno_ref, omega_ref, d_ref, b_ref, rho_ref,
-                   out_ref):
+def _dltar1_kernel(nl, dynamic, *refs):
     """Love (SH) secular function: 2-vector Haskell recursion from the
     halfspace up with per-layer renormalization (surfdisp96.f:710-769).
     """
+    if dynamic:
+        top_ref, wvno_ref, omega_ref, d_ref, b_ref, rho_ref, \
+            out_ref = refs
+    else:
+        wvno_ref, omega_ref, d_ref, b_ref, rho_ref, out_ref = refs
+        top_ref = None
     wvno = wvno_ref[:]            # (C_TILE, L)
     omega = jnp.maximum(omega_ref[:], 1.0e-4)
     water = b_ref[:, 0:1] <= 0.0  # (C_TILE, 1) surface water layer
@@ -186,7 +236,8 @@ def _dltar1_kernel(nl, wvno_ref, omega_ref, d_ref, b_ref, rho_ref,
     e1 = rho_hs * vert(omega / b_hs)          # (C_TILE, L)
     e2 = jnp.broadcast_to(1.0 / (b_hs * b_hs), wvno.shape)
 
-    for i in range(nl - 2, -1, -1):
+    def layer_update(i, e):
+        e1, e2 = e
         d_l = d_ref[:, i:i + 1]
         b_l = b_ref[:, i:i + 1]
         rho_l = rho_ref[:, i:i + 1]
@@ -200,9 +251,20 @@ def _dltar1_kernel(nl, wvno_ref, omega_ref, d_ref, b_ref, rho_ref,
         nrm = jnp.maximum(jnp.abs(e10), jnp.abs(e20))
         nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
         skip = water & (i == 0)   # llw=2: skip a surface water layer
-        e1 = jnp.where(skip, e1, e10 / nrm)
-        e2 = jnp.where(skip, e2, e20 / nrm)
-    out_ref[:] = e1
+        return (jnp.where(skip, e1, e10 / nrm),
+                jnp.where(skip, e2, e20 / nrm))
+
+    e = (e1, e2)
+    if top_ref is None:
+        for i in range(nl - 2, -1, -1):
+            e = layer_update(i, e)
+    else:
+        top = top_ref[0, 0]
+        for i in range(nl - 2, -1, -1):
+            e = jax.lax.cond(i <= top,
+                             functools.partial(layer_update, i),
+                             lambda e_: e_, e)
+    out_ref[:] = e[0]
 
 
 def dltar1_pallas_single(wvno, omega, d, b, rho, interpret=False):
@@ -216,7 +278,7 @@ def dltar1_pallas_single(wvno, omega, d, b, rho, interpret=False):
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_dltar1_kernel, nl),
+        functools.partial(_dltar1_kernel, nl, False),
         out_shape=jax.ShapeDtypeStruct((1, L), wvno.dtype),
         in_specs=[spec(L), spec(L), spec(nl), spec(nl), spec(nl)],
         out_specs=spec(L),
@@ -252,14 +314,21 @@ def dltar1_pallas(wvno, omega, d, b, rho, interpret=False):
         return pl.BlockSpec((C_TILE, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [spec(L), spec(L), spec(nl), spec(nl), spec(nl)]
+    args = [wvno, omega, d, b, rho]
+    if DYNAMIC_NL:
+        in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.SMEM))
+        args.insert(0, _tile_top_layer(d, Cp // C_TILE, nl))
+
     out = pl.pallas_call(
-        functools.partial(_dltar1_kernel, nl),
+        functools.partial(_dltar1_kernel, nl, DYNAMIC_NL),
         out_shape=jax.ShapeDtypeStruct((Cp, L), wvno.dtype),
         grid=grid,
-        in_specs=[spec(L), spec(L), spec(nl), spec(nl), spec(nl)],
+        in_specs=in_specs,
         out_specs=spec(L),
         interpret=interpret,
-    )(wvno, omega, d, b, rho)
+    )(*args)
     return out[:C]
 
 
@@ -275,7 +344,7 @@ def dltar4_pallas_single(wvno, omega, d, a, b, rho, interpret=False):
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_dltar4_kernel, nl),
+        functools.partial(_dltar4_kernel, nl, False),
         out_shape=jax.ShapeDtypeStruct((1, L), wvno.dtype),
         in_specs=[spec(L), spec(L), spec(nl), spec(nl), spec(nl),
                   spec(nl)],
@@ -314,13 +383,20 @@ def dltar4_pallas(wvno, omega, d, a, b, rho, interpret=False):
         return pl.BlockSpec((C_TILE, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [spec(L), spec(L), spec(nl), spec(nl), spec(nl),
+                spec(nl)]
+    args = [wvno, omega, d, a, b, rho]
+    if DYNAMIC_NL:
+        in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.SMEM))
+        args.insert(0, _tile_top_layer(d, Cp // C_TILE, nl))
+
     out = pl.pallas_call(
-        functools.partial(_dltar4_kernel, nl),
+        functools.partial(_dltar4_kernel, nl, DYNAMIC_NL),
         out_shape=jax.ShapeDtypeStruct((Cp, L), wvno.dtype),
         grid=grid,
-        in_specs=[spec(L), spec(L), spec(nl), spec(nl), spec(nl),
-                  spec(nl)],
+        in_specs=in_specs,
         out_specs=spec(L),
         interpret=interpret,
-    )(wvno, omega, d, a, b, rho)
+    )(*args)
     return out[:C]

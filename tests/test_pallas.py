@@ -138,6 +138,56 @@ def test_pallas_love_secular_water_layer():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_secular_dynamic_layer_skip():
+    """Heterogeneous per-chain layer counts across tiles: the dynamic
+    layer skip (inactive padded slots branch-skipped per 8-chain tile,
+    pallas_secular.DYNAMIC_NL) must reproduce the full XLA recursion —
+    the skipped identity layers renormalize by exactly 1 once any
+    active layer has renormalized, so values (not just signs) agree to
+    f32 rounding for every n >= 2."""
+    rs = np.random.RandomState(11)
+    C, L, NL = 16, 256, 21
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    # tile 0: small models (n in 2..6); tile 1: up to full width —
+    # exercises different per-tile top indices including no-skip
+    for i in range(C):
+        n = rs.randint(2, 7) if i < 8 else rs.randint(7, NL + 1)
+        z = np.sort(rs.uniform(2, 55, n))
+        v = np.sort(rs.uniform(2.3, 4.5, n))
+        H[i, :n - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :n] = v
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+
+    per = rs.uniform(1, 41, L)
+    omega = (2 * np.pi / per).astype(np.float32)
+    c = rs.uniform(2.0, 4.3, (C, L)).astype(np.float32)
+    wv = omega[None, :] / c
+    om = np.broadcast_to(omega, (C, L)).astype(np.float32)
+    D, A, B, R = (jnp.asarray(x) for x in (H, VP, VS, RHO))
+
+    out4 = dltar4_pallas(jnp.asarray(wv), jnp.asarray(om), D, A, B, R,
+                         interpret=True)
+    ref4 = jax.vmap(lambda w, o, d, a, b, r:
+                    dltar4(w, o, d, a, b, r, jnp.asarray(False)))(
+        jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
+    assert np.all(np.sign(np.asarray(out4)) == np.sign(np.asarray(ref4)))
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
+                               rtol=2e-5, atol=2e-6)
+
+    out1 = dltar1_pallas(jnp.asarray(wv), jnp.asarray(om), D, B, R,
+                         interpret=True)
+    ref1 = jax.vmap(lambda w, o, d, a, b, r:
+                    dltar1(w, o, d, a, b, r, jnp.asarray(False)))(
+        jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
+    assert np.all(np.sign(np.asarray(out1)) == np.sign(np.asarray(ref1)))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.parametrize('igr', [0, 1])
 def test_batch_solver_love_matches_vmap_interpret(igr):
     """surfdisp_roots_batch with iwave=1 (pallas Love kernel,
