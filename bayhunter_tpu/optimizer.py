@@ -32,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bayhunter_tpu import config as cfgio
 from bayhunter_tpu.sampler.chain import (build_sampler,
                                          dispatch_cycles, make_config,
-                                         precompile_cycles)
+                                         precompile_cycles,
+                                         resort_states)
 from bayhunter_tpu.sampler.evaluator import build_evaluator
 
 logger = logging.getLogger(__name__)
@@ -135,6 +136,18 @@ class MCMC_Optimizer(object):
                    ', burn-in ladder adaptation on'
                    if self._ladder_adapt else ''))
 
+        # chain resort (initparams['resort_chains']): sort rows by
+        # layer count between segments so the batch kernels' dynamic
+        # layer skip sees n-homogeneous 8-chain tiles
+        # (chain.resort_states — an exact relabeling; the reference
+        # output contract is restored through self._perm at snapshot/
+        # checkpoint time).  Single-device only: a global argsort over
+        # a sharded batch axis would gather across devices.
+        self._resort = (bool(self.initparams.get('resort_chains',
+                                                 False))
+                        and ndev == 1)
+        self._perm = None
+
         logger.info('> %d chain(s) are initiated on %d device(s)...'
                     % (self.nchains, ndev))
 
@@ -167,6 +180,12 @@ class MCMC_Optimizer(object):
         vs, z, n, logL, misfits, noise, vpvs = jax.device_get(
             (states.vs, states.z, states.n, states.logL,
              states.misfits, states.noise, states.vpvs))
+        if self._perm is not None:
+            # undo the resort relabeling: row -> original chain id
+            inv = np.argsort(np.asarray(jax.device_get(self._perm)))
+            vs, z, n, logL, misfits, noise, vpvs = (
+                arr[inv] for arr in (vs, z, n, logL, misfits, noise,
+                                     vpvs))
         if self.tempering_plan is not None:
             # posterior = the beta=1 rung of every temperature group
             cold = self.tempering_plan.cold_indices(self.nchains_padded)
@@ -199,7 +218,14 @@ class MCMC_Optimizer(object):
 
         target_s = float(self.initparams.get('segment_seconds', 5.0))
         ckpt_s = float(self.initparams.get('checkpoint_seconds', 600.0))
-        seg = int(min(50, total))
+        # segment_iters pins the device-segment size (skipping the
+        # wall-time calibration): the per-step remainder of a segment
+        # not aligned to whole cycles follows the random-scan schedule
+        # instead of the fused cycle order, so two runs are
+        # move-sequence-identical ONLY with equal segmentation — pin
+        # it for A/B comparisons (e.g. resort_chains validation)
+        seg_pin = int(self.initparams.get('segment_iters', 0))
+        seg = seg_pin if seg_pin > 0 else int(min(50, total))
         parts = list(parts) if parts else []
         it_done = start_it
         next_snap = thin * (len(parts) + 1)
@@ -252,7 +278,14 @@ class MCMC_Optimizer(object):
                     and getattr(self, '_ladder_adapt', False)):
                 states = self._maybe_adapt_ladder(states)
 
-            if not calibrated and step == seg:
+            if self._resort:
+                if self._perm is None:
+                    self._perm = jnp.arange(self.nchains_padded,
+                                            dtype=jnp.int32)
+                states, self._perm = resort_states(
+                    states, self._perm, self.ntemps)
+
+            if not calibrated and step == seg and seg_pin <= 0:
                 calibrated = True
                 seg_new = int(np.clip(seg * target_s / max(dt_seg, 1e-3),
                                       1, 2000))
@@ -401,6 +434,10 @@ class MCMC_Optimizer(object):
         payload['phase'] = np.asarray(phase)
         payload['it_done'] = np.asarray(it_done)
         payload['n_parts'] = np.asarray(len(parts))
+        if self._perm is not None:
+            # states rows are resort-relabeled; the perm restores the
+            # reference per-chain output identity on resume
+            payload['perm'] = np.asarray(jax.device_get(self._perm))
         for i, p in enumerate(parts):
             for key, v in p.items():
                 payload['part%d_%s' % (i, key)] = v
@@ -420,6 +457,11 @@ class MCMC_Optimizer(object):
                   for i in range(nleaves)]
         states = jax.tree_util.tree_unflatten(treedef, leaves)
         states = jax.device_put(states, self.sharding)
+        if 'perm' in data:
+            # restore the resort relabeling map even if resort_chains
+            # is now off — snapshots must keep un-permuting rows saved
+            # by the previous (resorting) run
+            self._perm = jnp.asarray(data['perm'], jnp.int32)
         parts = []
         keys = ('model', 'logL', 'misfits', 'noise', 'vpvs')
         for i in range(int(data['n_parts'])):

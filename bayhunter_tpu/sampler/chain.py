@@ -1021,6 +1021,44 @@ def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
     return states
 
 
+@partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
+def resort_states(states, perm, block=1):
+    """Reorder chain rows by layer count ``n`` (stable sort).
+
+    The batch kernels' dynamic layer skip (ops/pallas_secular.py
+    DYNAMIC_NL) branches per 8-chain tile on the tile's deepest active
+    layer, so an unsorted batch pays each tile's MAX layer count;
+    sorted rows make tiles n-homogeneous and the skip saturates at
+    the per-chain cost.  Chains are exchangeable and their randomness
+    rides ``states.key`` (the host move schedule is chain-independent),
+    so resorting is an exact relabeling: every chain's trajectory is
+    bit-identical to the unsorted run.
+
+    ``block`` > 1 moves whole consecutive row blocks together keyed on
+    the block's first row — use ``block=ntemps`` under parallel
+    tempering (rung-fastest layout, sampler/tempering.py) so
+    temperature groups stay contiguous for the swap sweeps.
+
+    ``perm`` is the running row->original-chain map (init
+    ``jnp.arange(C)``); callers un-permute host snapshots with it.
+    Call between dispatch segments (one extra ~1 ms program); NOT
+    sharding-aware — a global argsort over a sharded batch axis would
+    gather across devices, so keep it to single-device runs.
+    """
+    C = states.n.shape[0]
+    if block > 1:
+        key = states.n.reshape(-1, block)[:, 0]
+        ob = jnp.argsort(key)
+        order = (ob[:, None] * block
+                 + jnp.arange(block, dtype=ob.dtype)).reshape(-1)
+    else:
+        order = jnp.argsort(states.n)
+    new_states = jax.tree.map(
+        lambda x: x[order] if (getattr(x, 'ndim', 0) > 0
+                               and x.shape[0] == C) else x, states)
+    return new_states, perm[order]
+
+
 class SingleChain(object):
     """Reference-compatible single-chain front end
     (reference: src/SingleChain.py:25-690) over the batched sampler.

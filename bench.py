@@ -18,6 +18,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '.jax_cache'))
@@ -130,6 +131,16 @@ def main():
     it += thin
     jax.block_until_ready(states.logL)
 
+    # BENCH_RESORT=1: sort chains by layer count between segments so
+    # the dynamic layer skip sees n-homogeneous tiles (exact chain
+    # relabeling, see chain.resort_states; bench needs no perm
+    # bookkeeping because it never reads per-chain traces)
+    resort = os.environ.get('BENCH_RESORT', '0') == '1'
+    if resort:
+        from bayhunter_tpu.sampler.chain import resort_states
+        perm = jnp.arange(NCHAINS, dtype=jnp.int32)
+        states, perm = resort_states(states, perm)
+
     t0 = time.time()
     total = 0
     for _ in range(nseg):
@@ -137,6 +148,8 @@ def main():
                                  sync_every=0)
         it += thin
         total += thin
+        if resort:
+            states, perm = resort_states(states, perm)
         jax.block_until_ready(states.logL)
     dt = time.time() - t0
 

@@ -211,3 +211,52 @@ def test_rrf_estimate_monotone_filter_width():
     assert list(rrfs) == sorted(rrfs)
     assert all(a1 > a2 for a1, a2 in zip(a_est, a_est[1:])), a_est
     assert 0.5 < a_est[-1] < a_est[0] < 8.0, a_est
+
+
+def test_resort_chains_identical_outputs(tmp_path):
+    """initparams['resort_chains']: the segment-boundary chain resort
+    is an exact relabeling (chain.resort_states), so every per-chain
+    .npy output must be IDENTICAL to the un-resorted run — the
+    snapshot path restores original chain identity through the perm."""
+    import jax
+
+    h = np.array([5., 23., 8., 0.])
+    vs = np.array([2.7, 3.6, 3.8, 4.4])
+    x, y = SynthObs.return_swddata(h, vs, vpvs=1.73)['rdispph']
+    rs = np.random.RandomState(3)
+    ynoisy = np.asarray(y) + 0.012 * rs.normal(size=np.asarray(y).size)
+
+    outs = {}
+    for resort in (False, True):
+        tmp = str(tmp_path / ('resort_%d' % resort))
+        target = Targets.RayleighDispersionPhase(np.asarray(x), ynoisy)
+        targets = Targets.JointTarget(targets=[target])
+        priors = {'vs': (2.0, 5.0), 'z': (0.0, 60.0), 'layers': (1, 8),
+                  'vpvs': 1.73, 'swdnoise_corr': 0.0,
+                  'swdnoise_sigma': (1e-5, 0.05)}
+        initparams = {'nchains': 6, 'iter_burnin': 300,
+                      'iter_main': 300,
+                      'propdist': (0.015, 0.015, 0.015, 0.005, 0.005),
+                      'acceptance': (40, 45), 'thickmin': 0.1,
+                      'maxmodels': 30, 'savepath': tmp,
+                      'station': 'mini', 'segment_seconds': 0.5,
+                      'checkpoint_seconds': 0,
+                      # pinned segmentation: identical move sequences
+                      # are only guaranteed under equal segmentation
+                      # (see optimizer segment_iters)
+                      'segment_iters': 50,
+                      'resort_chains': resort}
+        opt = MCMC_Optimizer(targets, initparams=initparams,
+                             priors=priors, random_seed=9,
+                             devices=jax.devices('cpu')[:1])
+        opt.mp_inversion()
+        outs[resort] = tmp
+
+    for c in range(6):
+        for phase in ('p1', 'p2'):
+            for name in ('models', 'likes', 'misfits', 'noise',
+                         'vpvs'):
+                f = 'c%03d_%s%s.npy' % (c, phase, name)
+                a = np.load(op.join(outs[False], 'data', f))
+                b = np.load(op.join(outs[True], 'data', f))
+                np.testing.assert_array_equal(a, b, err_msg=f)

@@ -301,3 +301,74 @@ def test_prior_only_dispatch_cycles_uniform_layer_histogram():
     assert np.all(np.abs(h_run - uniform) < 0.08), h_run
     assert abs(h_prod @ np.arange(nmin, nmax + 1)
                - h_run @ np.arange(nmin, nmax + 1)) < 0.5
+
+
+def test_resort_states_is_exact_relabeling(sampler):
+    """resort_states between dispatch segments must not change any
+    chain's trajectory: chain randomness rides states.key (the host
+    move schedule is chain-independent), so the sorted run's final
+    states, matched back through perm, are bit-identical to the
+    unsorted run's."""
+    from bayhunter_tpu.sampler.chain import dispatch_cycles, \
+        resort_states
+
+    C = 16
+    states_a = sampler.init_states_host(9, C)
+    states_b = jax.tree_util.tree_map(jnp.copy, states_a)
+    it0 = -INITPARAMS['iter_burnin']
+    # split/count on whole-cycle boundaries (the two arms must issue
+    # identical dispatch sequences), past the early cutoff so
+    # dimension moves diversify the layer counts being sorted on
+    cel, clen = sampler.cycle_early_len, sampler.cycle_len
+    n_early = int(np.ceil((sampler.early_cutoff - it0) / cel)) * cel
+    half = n_early + 2 * clen
+    count = n_early + 6 * clen
+
+    # arm A: plain dispatch
+    states_a = dispatch_cycles(sampler, states_a, it0, count)
+
+    # arm B: dispatch with resorts interleaved
+    perm = jnp.arange(C, dtype=jnp.int32)
+    states_b = dispatch_cycles(sampler, states_b, it0, half)
+    states_b, perm = resort_states(states_b, perm)
+    states_b = dispatch_cycles(sampler, states_b, it0 + half,
+                               count - half)
+    states_b, perm = resort_states(states_b, perm)
+
+    inv = np.argsort(np.asarray(perm))   # original chain -> row
+    assert sorted(np.asarray(perm).tolist()) == list(range(C))
+    # rows must actually be n-sorted after the resort
+    n_b = np.asarray(states_b.n)
+    assert np.all(np.diff(n_b) >= 0)
+    for name in ('vs', 'z', 'n', 'vpvs', 'noise', 'logL', 'misfits',
+                 'accepted', 'proposed', 'propdist', 'key'):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(states_a, name)),
+            np.asarray(getattr(states_b, name))[inv], err_msg=name)
+
+
+def test_resort_states_block_keeps_groups(sampler):
+    """block=k moves whole consecutive row blocks (temperature
+    groups) together, keyed on each block's first (cold) row."""
+    from bayhunter_tpu.sampler.chain import resort_states
+
+    C, k = 12, 3
+    states = sampler.init_states_host(13, C)
+    # distinctive per-row payloads to track rows (n drives the sort;
+    # vpvs rides along) — copied to host BEFORE the donating call
+    tag = jnp.arange(C, dtype=states.vpvs.dtype)
+    rs = np.random.RandomState(4)
+    n_in = rs.randint(2, 9, C).astype(np.asarray(states.n).dtype)
+    states = states._replace(vpvs=tag,
+                             n=jnp.asarray(n_in))
+    tag_in = np.asarray(tag).copy()
+    perm0 = jnp.arange(C, dtype=jnp.int32)
+    out, perm = resort_states(states, perm0, block=k)
+
+    order = np.argsort(n_in.reshape(-1, k)[:, 0], kind='stable')
+    expect_rows = (order[:, None] * k + np.arange(k)).ravel()
+    np.testing.assert_array_equal(np.asarray(perm), expect_rows)
+    np.testing.assert_array_equal(np.asarray(out.vpvs),
+                                  tag_in[expect_rows])
+    np.testing.assert_array_equal(np.asarray(out.n),
+                                  n_in[expect_rows])
