@@ -85,15 +85,19 @@ class MCMC_Optimizer(object):
                                        self.initparams, self.maxlayers,
                                        dtype=dtype,
                                        use_batch_swd=use_batch_swd)
-        self.sampler = build_sampler(self.eval_fn, self.cfg)
+        self.mesh = Mesh(np.array(self.devices), ('chains',))
+        self.sharding = NamedSharding(self.mesh, P('chains'))
+        # multi-device: shard_map the dispatch programs over the chain
+        # mesh (GSPMD would all-gather + replicate the pallas kernels;
+        # see build_sampler)
+        self.sampler = build_sampler(
+            self.eval_fn, self.cfg,
+            mesh=self.mesh if len(self.devices) > 1 else None)
         (self.init_fn, self.iterate_fn, self.run_fn,
          self.snapshot_fn) = (self.sampler.init_fn,
                               self.sampler.iterate_fn,
                               self.sampler.run_fn,
                               self.sampler.snapshot_fn)
-
-        self.mesh = Mesh(np.array(self.devices), ('chains',))
-        self.sharding = NamedSharding(self.mesh, P('chains'))
 
         # optional parallel tempering (sampler/tempering.py, beyond
         # the reference): ``nchains`` keeps its reference meaning —

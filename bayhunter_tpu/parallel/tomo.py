@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 import jax
+from jax.sharding import Mesh
 
 from bayhunter_tpu import Targets
 from bayhunter_tpu.config import load_params, get_path
@@ -69,7 +70,12 @@ class TomoInversion(object):
         self.eval_fn = build_evaluator(self.joint, self.priors,
                                        self.initparams, nl, dtype=dtype,
                                        use_batch_swd=use_batch)
-        self.sampler = build_sampler(self.eval_fn, self.cfg)
+        # multi-device: shard_map the dispatch programs (GSPMD would
+        # all-gather + replicate the pallas kernels; chain.build_sampler)
+        devs = devices if devices is not None else jax.devices()
+        mesh = (Mesh(np.array(devs), ('chains',))
+                if len(devs) > 1 else None)
+        self.sampler = build_sampler(self.eval_fn, self.cfg, mesh=mesh)
 
         self.devices = devices
         self.nchains = self.ncells * self.chains_per_cell

@@ -231,12 +231,33 @@ def make_config(priors, initparams, noiserefs, nl=None,
         dim_mixture=str(initparams.get('dim_mixture', 'per_chain')))
 
 
-def build_sampler(eval_fn, cfg):
+def build_sampler(eval_fn, cfg, mesh=None):
     """Return (init_fn, iterate_fn, run_fn, snapshot_fn).
 
     ``eval_fn(vs, z, n, vpvs, noise) -> (logL, misfits, valid)`` is the
     batched joint-target evaluator (sampler/evaluator.py).
+
+    ``mesh``: a multi-device 1-D chain mesh to shard_map the dispatch
+    programs over.  Chains are embarrassingly parallel, but GSPMD has
+    no partitioning rule for pallas_call — left to auto-sharding it
+    ALL-GATHERS the batch and replicates the hottest kernels on every
+    device (measured: 58 all-gathers in one lowered secular call).
+    shard_map makes each device run the whole move program on its own
+    chain shard with zero collectives; the tempering swap_fn stays
+    GSPMD (its cross-chain roll lowers to collective-permute over ICI).
     """
+    from jax.experimental.shard_map import shard_map
+
+    if mesh is not None and mesh.size > 1:
+        _spec = jax.sharding.PartitionSpec(mesh.axis_names[0])
+
+        def _sharded(f):
+            return shard_map(f, mesh=mesh, in_specs=(_spec,),
+                             out_specs=_spec, check_rep=False)
+    else:
+        def _sharded(f):
+            return f
+
     nl = cfg.nl
     dtype = cfg.dtype
     vsmin, vsmax = cfg.vs_prior
@@ -834,7 +855,7 @@ def build_sampler(eval_fn, cfg):
         """One batched iteration; each move id compiles to its own
         specialized program (a noise step contains no forward solvers
         at all), eliminating runtime conditionals entirely."""
-        return _step_static(states, move_id)
+        return _sharded(lambda s: _step_static(s, move_id))(states)
 
     # ------------------------------------------------------------------
     # fused move cycles — the production dispatch unit.
@@ -874,9 +895,12 @@ def build_sampler(eval_fn, cfg):
         if has_dims:
             order += [int(d1), int(d2)]
         order += [m for m in cycle_moves if m not in (MOVE_VS, MOVE_Z)]
-        for mid in order:
-            states = _step_static(states, int(mid))
-        return states
+
+        def body(states):
+            for mid in order:
+                states = _step_static(states, int(mid))
+            return states
+        return _sharded(body)(states)
 
     @partial(jax.jit, donate_argnums=0)
     def cycle_mixed_fn(states):
@@ -885,21 +909,25 @@ def build_sampler(eval_fn, cfg):
         compiled program covers every slot outcome (vs four host-slot
         variants), and each chain's slot is the fair birth/death
         mixture kernel by construction."""
-        states = _step_static(states, MOVE_VS)
-        states = _step_static(states, MOVE_Z)
-        if has_dims:
-            states = _step_dim(states)
-            states = _step_dim(states)
-        for mid in cycle_moves:
-            if mid not in (MOVE_VS, MOVE_Z):
-                states = _step_static(states, int(mid))
-        return states
+        def body(states):
+            states = _step_static(states, MOVE_VS)
+            states = _step_static(states, MOVE_Z)
+            if has_dims:
+                states = _step_dim(states)
+                states = _step_dim(states)
+            for mid in cycle_moves:
+                if mid not in (MOVE_VS, MOVE_Z):
+                    states = _step_static(states, int(mid))
+            return states
+        return _sharded(body)(states)
 
     @partial(jax.jit, donate_argnums=0)
     def cycle_early_fn(states):
-        for mid in cycle_early_moves:
-            states = _step_static(states, int(mid))
-        return states
+        def body(states):
+            for mid in cycle_early_moves:
+                states = _step_static(states, int(mid))
+            return states
+        return _sharded(body)(states)
 
     def dim_slots_for(it):
         """Deterministic (birth|death, birth|death) draw for the cycle
