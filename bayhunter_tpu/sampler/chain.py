@@ -246,7 +246,7 @@ def build_sampler(eval_fn, cfg, mesh=None):
     chain shard with zero collectives; the tempering swap_fn stays
     GSPMD (its cross-chain roll lowers to collective-permute over ICI).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     if mesh is not None and mesh.size > 1:
         _spec = jax.sharding.PartitionSpec(mesh.axis_names[0])
