@@ -31,6 +31,8 @@ _PARITY_EXPORTS = {
     'PlotFromStorage': ('bayhunter_tpu.plotting', 'PlotFromStorage'),
     'BayWatcher': ('bayhunter_tpu.baywatch', 'BayWatcher'),
     'utils': ('bayhunter_tpu.utils', None),
+    # beyond-reference: ensemble convergence diagnostics
+    'diagnostics': ('bayhunter_tpu.diagnostics', None),
 }
 
 

@@ -519,6 +519,21 @@ class MCMC_Optimizer(object):
         if op.exists(self.ckptfile):
             os.remove(self.ckptfile)
 
+        # positive convergence evidence over the main-phase traces
+        # (beyond the reference's outlier pruning): split-R-hat + ESS
+        # of the pooled likelihood trace (diagnostics.py)
+        if p2 is not None and p2['logL'].shape[1] >= 4:
+            from bayhunter_tpu import diagnostics
+            rep = diagnostics.convergence_report(
+                {'logL': p2['logL'][:self.nchains]})['logL']
+            logger.info(
+                '> convergence: logL split-R-hat %.4f, ESS %.0f '
+                '(%.1f/chain)%s'
+                % (rep['rhat'], rep['ess'], rep['ess_per_chain'],
+                   '' if rep['converged']
+                   else ' — R-hat > 1.01: chains disagree, consider '
+                        'longer burn-in or parallel tempering'))
+
         self.final_states = states
         runtime = time.time() - t0
         total_props = self.iterations * self.nchains
