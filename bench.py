@@ -174,6 +174,12 @@ def main():
     rate = proposals / dt
     norm = _normalizer_gflops()
     ff, pp = jax.device_get((states.fwdfail, states.proposed))
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        hbm_gb = round(ms.get('peak_bytes_in_use',
+                              ms.get('bytes_in_use', 0)) / 2 ** 30, 3)
+    except Exception:
+        hbm_gb = None
     print(json.dumps({
         'metric': 'joint SWD+RF McMC proposal throughput '
                   '(%d chains, 1 chip)' % NCHAINS,
@@ -190,6 +196,7 @@ def main():
                 100.0 * ff.sum() / max(pp.sum(), 1), 3),
             'fwd_reject_dim_pct': round(
                 100.0 * ff[:, 2].sum() / max(pp[:, 2].sum(), 1), 3),
+            'peak_hbm_gb': hbm_gb,
         },
     }))
 
