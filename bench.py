@@ -148,11 +148,13 @@ def main():
     it += thin
     jax.block_until_ready(states.logL)
 
-    # BENCH_RESORT=1: sort chains by layer count between segments so
-    # the dynamic layer skip sees n-homogeneous tiles (exact chain
-    # relabeling, see chain.resort_states; bench needs no perm
-    # bookkeeping because it never reads per-chain traces)
-    resort = os.environ.get('BENCH_RESORT', '0') == '1'
+    # BENCH_RESORT (default on): sort chains by layer count between
+    # segments so the dynamic layer skip sees n-homogeneous tiles
+    # (exact chain relabeling, see chain.resort_states; bench needs no
+    # perm bookkeeping because it never reads per-chain traces).  Cost
+    # is one extra program per timed segment (<0.5%); upside is the
+    # tile-max -> per-chain layer-count gap.
+    resort = os.environ.get('BENCH_RESORT', '1') == '1'
     if resort:
         from bayhunter_tpu.sampler.chain import resort_states
         perm = jnp.arange(NCHAINS, dtype=jnp.int32)

@@ -45,10 +45,9 @@ def main():
         ('bench dynamic-on', ['bench.py'], {}),
         ('bench dynamic-off', ['bench.py'],
          {'BAYHUNTER_DYNAMIC_NL': '0'}),
-        ('bench dynamic+resort', ['bench.py'], {'BENCH_RESORT': '1'}),
+        ('bench dynamic+noresort', ['bench.py'], {'BENCH_RESORT': '0'}),
         ('bench 10240 dynamic+resort', ['bench.py'],
-         {'BENCH_NCHAINS': '10240', 'BENCH_ITERS': '500',
-          'BENCH_RESORT': '1'}),
+         {'BENCH_NCHAINS': '10240', 'BENCH_ITERS': '500'}),
         ('group-swd on', ['scripts/bench_group_swd.py'],
          {'BAYHUNTER_GROUP_SWD': '1'}),
         ('group-swd off', ['scripts/bench_group_swd.py'],
