@@ -211,6 +211,27 @@ class PlotFromStorage(object):
                 f.write('\n'.join(lines) + '\n')
         return outliers
 
+    def convergence_report(self, ftypes=('likes', 'vpvs'), phase=2):
+        """Split-R-hat + effective sample size over the stored
+        per-chain traces (diagnostics.py) — positive convergence
+        evidence to complement the outlier pruning.  Chains may have
+        unequal lengths (the reference layout allows it); the common
+        tail is used.  Returns {ftype: {'rhat':…, 'ess':…, …}}."""
+        from bayhunter_tpu import diagnostics
+        traces = {}
+        for ft in ftypes:
+            rows = [np.atleast_1d(np.squeeze(
+                        self.store.load(c, ft, phase)))
+                    for c in self.store.chains]
+            n = min(r.shape[0] for r in rows)
+            traces[ft] = np.stack([r[-n:] for r in rows])
+        rep = diagnostics.convergence_report(traces)
+        for ft, d in rep.items():
+            print('%s: split-R-hat %.4f, ESS %.0f (%.1f/chain)%s'
+                  % (ft, d['rhat'], d['ess'], d['ess_per_chain'],
+                     '' if d['converged'] else '  [NOT converged]'))
+        return rep
+
     def save_final_distribution(self, maxmodels=200000, dev=0.05):
         """Pool the phase-2 chains (outliers excluded) into the final
         ``c_*.npy`` posterior, evenly subsampled to ``maxmodels``

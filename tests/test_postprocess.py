@@ -260,3 +260,18 @@ def test_resort_chains_identical_outputs(tmp_path):
                 a = np.load(op.join(outs[False], 'data', f))
                 b = np.load(op.join(outs[True], 'data', f))
                 np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_convergence_report_from_storage(mini_run):
+    """PlotFromStorage.convergence_report: split-R-hat/ESS over the
+    stored per-chain traces (diagnostics.py)."""
+    from bayhunter_tpu import PlotFromStorage
+    configfile = op.join(mini_run, 'data', 'mini_config.pkl')
+    obj = PlotFromStorage(configfile)
+    rep = obj.convergence_report()
+    assert set(rep) == {'likes', 'vpvs'}
+    for d in rep.values():
+        assert np.isfinite(d['rhat']) or d['rhat'] == np.inf
+        assert d['ess'] > 0
+    # vpvs is fixed in the mini run -> constant chains -> rhat 1
+    assert rep['vpvs']['rhat'] == 1.0
