@@ -253,7 +253,7 @@ def build_sampler(eval_fn, cfg, mesh=None):
 
         def _sharded(f):
             return shard_map(f, mesh=mesh, in_specs=(_spec,),
-                             out_specs=_spec, check_rep=False)
+                             out_specs=_spec, check_vma=False)
     else:
         def _sharded(f):
             return f
