@@ -116,15 +116,14 @@ def main():
     # then clear the early phase in whole early-cycles and run one
     # un-timed late segment so every timed program is resident.
     # Safety net: the dynamic layer skip branches inside the pallas
-    # kernels (scf.if in Mosaic); if a toolchain rejects it, fall back
-    # to the full unrolled loops rather than failing the benchmark.
-    try:
-        precompile_cycles(sampler, states)
-    except Exception as exc:
+    # kernels (scf.if in Mosaic); if a toolchain rejects or miscompiles
+    # it anywhere before the timed region, fall back to the full
+    # unrolled loops rather than failing the benchmark of record.
+    def _fallback_dynamic_off(exc):
+        import sys
         if (os.environ.get('BAYHUNTER_DYNAMIC_NL', '1') == '1'
                 and os.environ.get('_BENCH_NL_FALLBACK') != '1'):
-            import sys
-            print('precompile failed (%s: %s); retrying with '
+            print('bench warm-up failed (%s: %s); retrying with '
                   'BAYHUNTER_DYNAMIC_NL=0' % (type(exc).__name__, exc),
                   file=sys.stderr)
             env = dict(os.environ,
@@ -132,21 +131,27 @@ def main():
                        _BENCH_NL_FALLBACK='1')
             os.execve(sys.executable,
                       [sys.executable] + sys.argv, env)
-        raise
-    n_early = int(np.ceil(max(0.0, cutoff - it) / cel)) * cel
-    states = dispatch_cycles(sampler, states, it, n_early)
-    it += n_early
-    if sampler.dim_mixture != 'per_chain':
-        # host-slot mode: touch all four dimension-slot variants
-        for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH),
-                       (MOVE_BIRTH, MOVE_DEATH),
-                       (MOVE_DEATH, MOVE_BIRTH),
-                       (MOVE_DEATH, MOVE_DEATH)):
-            states = sampler.cycle_fn(states, d1, d2)
-            it += clen
-    states = dispatch_cycles(sampler, states, it, thin, sync_every=0)
-    it += thin
-    jax.block_until_ready(states.logL)
+        raise exc
+
+    try:
+        precompile_cycles(sampler, states)
+        n_early = int(np.ceil(max(0.0, cutoff - it) / cel)) * cel
+        states = dispatch_cycles(sampler, states, it, n_early)
+        it += n_early
+        if sampler.dim_mixture != 'per_chain':
+            # host-slot mode: touch all four dimension-slot variants
+            for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH),
+                           (MOVE_BIRTH, MOVE_DEATH),
+                           (MOVE_DEATH, MOVE_BIRTH),
+                           (MOVE_DEATH, MOVE_DEATH)):
+                states = sampler.cycle_fn(states, d1, d2)
+                it += clen
+        states = dispatch_cycles(sampler, states, it, thin,
+                                 sync_every=0)
+        it += thin
+        jax.block_until_ready(states.logL)
+    except Exception as exc:
+        _fallback_dynamic_off(exc)
 
     # BENCH_RESORT (default on): sort chains by layer count between
     # segments so the dynamic layer skip sees n-homogeneous tiles
