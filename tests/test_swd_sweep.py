@@ -135,3 +135,68 @@ def test_f32_refinement_error_bounded():
     assert np.median(e) < 2e-6
     assert np.percentile(e, 99) < 2e-5
     assert e.max() < 3.3e-4  # dc/16 bracket width is the hard ceiling
+
+
+def test_grouped_solver_pathology_sweep():
+    """Grouped vs per-target batch solves across randomized
+    pathological model batches (LVZ/HVZ/thin/high-vpvs): the shared
+    bracketing/refinement pipeline must reproduce each target's
+    per-target solution — roots within the refinement tolerance, error
+    flags identical — cold AND warm."""
+    from bayhunter_tpu.ops.swd import (surfdisp_roots_batch,
+                                       surfdisp_roots_batch_grouped)
+
+    rs = np.random.RandomState(7)
+    C = 8
+    p_ph = jnp.asarray(np.linspace(2.0, 35.0, 9), jnp.float32)
+    p_gr = jnp.asarray(np.linspace(3.0, 30.0, 7), jnp.float32)
+
+    for trial, kind in enumerate(KINDS):
+        H = np.zeros((C, NL), np.float32)
+        VP = np.zeros((C, NL), np.float32)
+        VS = np.zeros((C, NL), np.float32)
+        RHO = np.zeros((C, NL), np.float32)
+        for c in range(C):
+            h, vp, vs, rho = make_model(rs, kind)
+            H[c] = _pad(h, 0.0)
+            VP[c] = _pad(vp, vp[-1])
+            VS[c] = _pad(vs, vs[-1])
+            RHO[c] = _pad(rho, rho[-1])
+        args = tuple(jnp.asarray(x) for x in (H, VP, VS, RHO))
+
+        # cold: grouped vs separate
+        outs = surfdisp_roots_batch_grouped(
+            *args, [p_ph, p_gr], [0, 1], None, iwave=2,
+            interpret=True)
+        ref_ph = surfdisp_roots_batch(*args, p_ph, None, iwave=2,
+                                      igr=0, interpret=True)
+        ref_gr = surfdisp_roots_batch(*args, p_gr, None, iwave=2,
+                                      igr=1, interpret=True)
+        for (g, r), name in zip(zip(outs, (ref_ph, ref_gr)),
+                                ('phase', 'group')):
+            np.testing.assert_array_equal(
+                np.asarray(g[1]), np.asarray(r[1]),
+                err_msg='%s err flags, %s' % (name, kind))
+            ok = ~np.asarray(g[1])
+            np.testing.assert_allclose(
+                np.asarray(g[0])[ok], np.asarray(r[0])[ok],
+                atol=5e-4, err_msg='%s roots, %s' % (name, kind))
+
+        # warm: displaced off the DDC grid from the cold roots
+        cps = [outs[0][2] + 0.0117, outs[1][2] + 0.0117]
+        w_out = surfdisp_roots_batch_grouped(
+            *args, [p_ph, p_gr], [0, 1], cps, iwave=2,
+            interpret=True)
+        w_ph = surfdisp_roots_batch(*args, p_ph, cps[0], iwave=2,
+                                    igr=0, interpret=True)
+        w_gr = surfdisp_roots_batch(*args, p_gr, cps[1], iwave=2,
+                                    igr=1, interpret=True)
+        for (g, r), name in zip(zip(w_out, (w_ph, w_gr)),
+                                ('phase', 'group')):
+            np.testing.assert_array_equal(
+                np.asarray(g[1]), np.asarray(r[1]),
+                err_msg='warm %s err flags, %s' % (name, kind))
+            ok = ~np.asarray(g[1])
+            np.testing.assert_allclose(
+                np.asarray(g[0])[ok], np.asarray(r[0])[ok],
+                atol=5e-4, err_msg='warm %s roots, %s' % (name, kind))
