@@ -143,13 +143,12 @@ class MCMC_Optimizer(object):
         # chain resort (initparams['resort_chains']): sort rows by
         # layer count between segments so the batch kernels' dynamic
         # layer skip sees n-homogeneous 8-chain tiles
-        # (chain.resort_states — an exact relabeling; the reference
+        # (chain.resort_states — a pure relabeling; the reference
         # output contract is restored through self._perm at snapshot/
-        # checkpoint time).  Single-device only: a global argsort over
-        # a sharded batch axis would gather across devices.
-        self._resort = (bool(self.initparams.get('resort_chains',
-                                                 False))
-                        and ndev == 1)
+        # checkpoint time).  Sharded batches sort within each device's
+        # shard (chains never migrate between devices).
+        self._resort = bool(self.initparams.get('resort_chains',
+                                                False))
         self._perm = None
 
         logger.info('> %d chain(s) are initiated on %d device(s)...'
@@ -284,10 +283,13 @@ class MCMC_Optimizer(object):
 
             if self._resort:
                 if self._perm is None:
-                    self._perm = jnp.arange(self.nchains_padded,
-                                            dtype=jnp.int32)
+                    self._perm = jax.device_put(
+                        jnp.arange(self.nchains_padded,
+                                   dtype=jnp.int32),
+                        self.sharding)
                 states, self._perm = resort_states(
-                    states, self._perm, self.ntemps)
+                    states, self._perm, self.ntemps,
+                    self.mesh if len(self.devices) > 1 else None)
 
             if not calibrated and step == seg and seg_pin <= 0:
                 calibrated = True

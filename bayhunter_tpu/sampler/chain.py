@@ -1049,30 +1049,7 @@ def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
     return states
 
 
-@partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
-def resort_states(states, perm, block=1):
-    """Reorder chain rows by layer count ``n`` (stable sort).
-
-    The batch kernels' dynamic layer skip (ops/pallas_secular.py
-    DYNAMIC_NL) branches per 8-chain tile on the tile's deepest active
-    layer, so an unsorted batch pays each tile's MAX layer count;
-    sorted rows make tiles n-homogeneous and the skip saturates at
-    the per-chain cost.  Chains are exchangeable and their randomness
-    rides ``states.key`` (the host move schedule is chain-independent),
-    so resorting is an exact relabeling: every chain's trajectory is
-    bit-identical to the unsorted run.
-
-    ``block`` > 1 moves whole consecutive row blocks together keyed on
-    the block's first row — use ``block=ntemps`` under parallel
-    tempering (rung-fastest layout, sampler/tempering.py) so
-    temperature groups stay contiguous for the swap sweeps.
-
-    ``perm`` is the running row->original-chain map (init
-    ``jnp.arange(C)``); callers un-permute host snapshots with it.
-    Call between dispatch segments (one extra ~1 ms program); NOT
-    sharding-aware — a global argsort over a sharded batch axis would
-    gather across devices, so keep it to single-device runs.
-    """
+def _resort_body(states, perm, block):
     C = states.n.shape[0]
     if block > 1:
         key = states.n.reshape(-1, block)[:, 0]
@@ -1085,6 +1062,47 @@ def resort_states(states, perm, block=1):
         lambda x: x[order] if (getattr(x, 'ndim', 0) > 0
                                and x.shape[0] == C) else x, states)
     return new_states, perm[order]
+
+
+@partial(jax.jit, static_argnums=(2, 3), donate_argnums=(0, 1))
+def resort_states(states, perm, block=1, mesh=None):
+    """Reorder chain rows by layer count ``n`` (stable sort).
+
+    The batch kernels' dynamic layer skip (ops/pallas_secular.py
+    DYNAMIC_NL) branches per 8-chain tile on the tile's deepest active
+    layer, so an unsorted batch pays each tile's MAX layer count;
+    sorted rows make tiles n-homogeneous and the skip saturates at
+    the per-chain cost.  Chains are exchangeable and their randomness
+    rides ``states.key`` (the host move schedule is chain-independent),
+    so resorting is a pure relabeling: every chain's trajectory is
+    bit-identical to the unsorted run on the XLA path; with the
+    dynamic skip active, a chain's kernel tile-mates change, which
+    perturbs its roots only within the documented f32 refinement
+    tolerance (the same equivalence class as the skip itself).
+
+    ``block`` > 1 moves whole consecutive row blocks together keyed on
+    the block's first row — use ``block=ntemps`` under parallel
+    tempering (rung-fastest layout, sampler/tempering.py) so
+    temperature groups stay contiguous for the swap sweeps.
+
+    ``mesh``: for a sharded batch, sort WITHIN each device's shard via
+    shard_map (chains stay put; a global argsort would gather across
+    devices).  Tiles are shard-local, so within-shard sorting captures
+    the whole benefit.
+
+    ``perm`` is the running row->original-chain map (init
+    ``jnp.arange(C)``, committed to the same sharding as the states);
+    callers un-permute host snapshots with it.  Call between dispatch
+    segments (one extra ~1 ms program).
+    """
+    if mesh is not None and mesh.size > 1:
+        from jax import shard_map
+        spec = jax.sharding.PartitionSpec(mesh.axis_names[0])
+        return shard_map(partial(_resort_body, block=block),
+                         mesh=mesh, in_specs=(spec, spec),
+                         out_specs=(spec, spec),
+                         check_vma=False)(states, perm)
+    return _resort_body(states, perm, block)
 
 
 class SingleChain(object):

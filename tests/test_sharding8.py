@@ -199,3 +199,43 @@ def test_shard_map_sampler_matches_and_avoids_gathers(cpu_devices):
         < 0.2 * abs(np.median(l_ref)) + 50.0
     assert abs(float(np.mean(np.asarray(sha.n)))
                - float(np.mean(np.asarray(ref.n)))) < 1.0
+
+
+def test_resort_states_sharded_within_shards(cpu_devices):
+    """resort_states(mesh=...): each device sorts its OWN shard
+    (chains never migrate), the perm stays a permutation, and the
+    lowered program contains no cross-device collectives."""
+    import jax.numpy as jnp
+    from bayhunter_tpu.sampler.chain import resort_states
+
+    sampler = _tiny_sampler()
+    C, ndev = 32, 8
+    mesh = Mesh(np.array(cpu_devices[:ndev]), ('chains',))
+    sharding = NamedSharding(mesh, P('chains'))
+
+    states = sampler.init_states_host(3, C)
+    rs = np.random.RandomState(8)
+    n_in = rs.randint(2, 6, C).astype(np.asarray(states.n).dtype)
+    states = states._replace(n=jnp.asarray(n_in))
+    states = jax.device_put(states, sharding)
+    perm0 = jax.device_put(jnp.arange(C, dtype=jnp.int32), sharding)
+
+    lowered = resort_states.lower(states, perm0, 1, mesh)
+    hlo = lowered.compile().as_text()
+    for coll in ('all-gather', 'all-to-all', 'collective-permute'):
+        assert coll not in hlo, coll
+
+    out, perm = resort_states(states, perm0, 1, mesh)
+    n_out = np.asarray(out.n)
+    p_out = np.asarray(perm)
+    local = C // ndev
+    assert sorted(p_out.tolist()) == list(range(C))
+    for d in range(ndev):
+        sl = slice(d * local, (d + 1) * local)
+        # sorted within the shard...
+        assert np.all(np.diff(n_out[sl]) >= 0), d
+        # ...and rows stayed on their device
+        assert set(p_out[sl]) == set(range(d * local,
+                                           (d + 1) * local)), d
+        np.testing.assert_array_equal(n_out[sl], n_in[p_out[sl]])
+    assert len(out.n.sharding.device_set) == ndev
