@@ -12,13 +12,22 @@ Deconvolution, Z/R->P/SV decomposition and the inverse FFT stay in XLA
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bayhunter_tpu.ops.pallas_secular import DYNAMIC_NL
+# Dynamic layer-count skip — see the rationale note in
+# ops/pallas_secular.py.  Unlike the secular kernel, the RF kernel's
+# per-layer work (complex 2x2 reflectivity algebra over the whole
+# frequency axis) dwarfs the scf.if carry overhead: measured 17%
+# faster on a real v5e chip (0.786 vs 0.952 ms/call at 512 chains,
+# nsamp=512), bit-equal responses to ~2e-6.  Defaults ON here.
+DYNAMIC_NL = os.environ.get(
+    'BAYHUNTER_DYNAMIC_NL_RF',
+    os.environ.get('BAYHUNTER_DYNAMIC_NL', '1')) == '1'
 
 C_TILE = 8
 
@@ -404,8 +413,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         top = jnp.max(jnp.where(act, idx, 0), axis=-1,
                       keepdims=True).astype(jnp.int32)
         args.insert(0, top)
-        in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                        memory_space=pltpu.SMEM))
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
 
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),

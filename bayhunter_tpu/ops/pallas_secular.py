@@ -30,14 +30,24 @@ C_TILE = 8
 # renormalization — pure wasted VPU work.  The batch wrappers compute
 # the highest active layer index per 8-chain tile on the XLA side and
 # the kernel branches each unrolled layer on it (scalar scf.if: real
-# branching in Mosaic, unlike lax.cond under an XLA scan).  Chains
-# early in a run sit far below the nl=maxlayers+1 padding width, so
-# the skip removes most of the layer loop of the hottest kernel.
+# branching in Mosaic, unlike lax.cond under an XLA scan).
 # Values differ from the full loop only by the skipped identity-layer
 # renormalizations (a positive per-lane scale; signs and root
-# positions unchanged).  BAYHUNTER_DYNAMIC_NL=0 restores the full
-# unrolled loop for A/B.
-DYNAMIC_NL = os.environ.get('BAYHUNTER_DYNAMIC_NL', '1') == '1'
+# positions unchanged).
+#
+# Measured on a real v5e chip (2026-08-18, 512 chains, L=128,
+# nl=21, models 4-8 active layers): the SECULAR kernel's per-layer
+# work is a single (8,128) f32 vreg tile, and the scf.if's carry
+# save/restore costs MORE than the skipped layers (full 0.019
+# ms/call vs dynamic 0.035) — so the skip defaults OFF here.  The RF
+# kernel (pallas_rf.py), whose per-layer work is ~50x larger
+# (complex 2x2 algebra over the whole frequency axis), measures 17%
+# faster with the skip and defaults ON.  BAYHUNTER_DYNAMIC_NL
+# overrides both kernels at once; BAYHUNTER_DYNAMIC_NL_SWD just this
+# one.
+DYNAMIC_NL = os.environ.get(
+    'BAYHUNTER_DYNAMIC_NL_SWD',
+    os.environ.get('BAYHUNTER_DYNAMIC_NL', '0')) == '1'
 
 
 def _tile_top_layer(d, ntiles, nl):
@@ -195,7 +205,7 @@ def _dltar4_kernel(nl, dynamic, *refs):
         for i in range(nl - 2, -1, -1):
             e = layer_update(i, e)
     else:
-        top = top_ref[0, 0]
+        top = top_ref[pl.program_id(0), 0]
         for i in range(nl - 2, -1, -1):
             e = jax.lax.cond(i <= top,
                              functools.partial(layer_update, i),
@@ -259,7 +269,7 @@ def _dltar1_kernel(nl, dynamic, *refs):
         for i in range(nl - 2, -1, -1):
             e = layer_update(i, e)
     else:
-        top = top_ref[0, 0]
+        top = top_ref[pl.program_id(0), 0]
         for i in range(nl - 2, -1, -1):
             e = jax.lax.cond(i <= top,
                              functools.partial(layer_update, i),
@@ -317,8 +327,7 @@ def dltar1_pallas(wvno, omega, d, b, rho, interpret=False):
     in_specs = [spec(L), spec(L), spec(nl), spec(nl), spec(nl)]
     args = [wvno, omega, d, b, rho]
     if DYNAMIC_NL:
-        in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                        memory_space=pltpu.SMEM))
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(0, _tile_top_layer(d, Cp // C_TILE, nl))
 
     out = pl.pallas_call(
@@ -387,8 +396,7 @@ def dltar4_pallas(wvno, omega, d, a, b, rho, interpret=False):
                 spec(nl)]
     args = [wvno, omega, d, a, b, rho]
     if DYNAMIC_NL:
-        in_specs.insert(0, pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                        memory_space=pltpu.SMEM))
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(0, _tile_top_layer(d, Cp // C_TILE, nl))
 
     out = pl.pallas_call(

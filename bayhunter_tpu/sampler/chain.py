@@ -1068,9 +1068,10 @@ def _resort_body(states, perm, block):
 def resort_states(states, perm, block=1, mesh=None):
     """Reorder chain rows by layer count ``n`` (stable sort).
 
-    The batch kernels' dynamic layer skip (ops/pallas_secular.py
-    DYNAMIC_NL) branches per 8-chain tile on the tile's deepest active
-    layer, so an unsorted batch pays each tile's MAX layer count;
+    The batch kernels' dynamic layer skip (ops/pallas_rf.py
+    DYNAMIC_NL; optional in ops/pallas_secular.py) branches per
+    8-chain tile on the tile's deepest active layer, so an unsorted
+    batch pays each tile's MAX layer count;
     sorted rows make tiles n-homogeneous and the skip saturates at
     the per-chain cost.  Chains are exchangeable and their randomness
     rides ``states.key`` (the host move schedule is chain-independent),

@@ -144,7 +144,11 @@ def test_pallas_secular_dynamic_layer_skip():
     pallas_secular.DYNAMIC_NL) must reproduce the full XLA recursion —
     the skipped identity layers renormalize by exactly 1 once any
     active layer has renormalized, so values (not just signs) agree to
-    f32 rounding for every n >= 2."""
+    f32 rounding for every n >= 2.  The flag defaults OFF for the
+    secular kernels (the skip only pays for the much heavier RF
+    kernel), so this test forces it on and calls the unjitted
+    wrappers (the jitted ones bake the flag in at trace time)."""
+    from bayhunter_tpu.ops import pallas_secular
     rs = np.random.RandomState(11)
     C, L, NL = 16, 256, 21
     H = np.zeros((C, NL), np.float32)
@@ -169,8 +173,17 @@ def test_pallas_secular_dynamic_layer_skip():
     om = np.broadcast_to(omega, (C, L)).astype(np.float32)
     D, A, B, R = (jnp.asarray(x) for x in (H, VP, VS, RHO))
 
-    out4 = dltar4_pallas(jnp.asarray(wv), jnp.asarray(om), D, A, B, R,
-                         interpret=True)
+    saved = pallas_secular.DYNAMIC_NL
+    pallas_secular.DYNAMIC_NL = True
+    try:
+        out4 = dltar4_pallas.__wrapped__(
+            jnp.asarray(wv), jnp.asarray(om), D, A, B, R,
+            interpret=True)
+        out1 = dltar1_pallas.__wrapped__(
+            jnp.asarray(wv), jnp.asarray(om), D, B, R,
+            interpret=True)
+    finally:
+        pallas_secular.DYNAMIC_NL = saved
     ref4 = jax.vmap(lambda w, o, d, a, b, r:
                     dltar4(w, o, d, a, b, r, jnp.asarray(False)))(
         jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
@@ -178,8 +191,6 @@ def test_pallas_secular_dynamic_layer_skip():
     np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
                                rtol=2e-5, atol=2e-6)
 
-    out1 = dltar1_pallas(jnp.asarray(wv), jnp.asarray(om), D, B, R,
-                         interpret=True)
     ref1 = jax.vmap(lambda w, o, d, a, b, r:
                     dltar1(w, o, d, a, b, r, jnp.asarray(False)))(
         jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
