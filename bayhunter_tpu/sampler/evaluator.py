@@ -363,16 +363,23 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
           c_prev if spec.kind == 'swd' else None)
         return y, tvalid, roots
 
-    # same-wave-type SWD targets share one grouped solver call in the
-    # batch path (e.g. Rayleigh phase + Rayleigh group): the secular
-    # kernel's fixed per-invocation cost then amortizes across the
-    # targets' concatenated lanes (ops/swd.py
-    # surfdisp_roots_batch_grouped).  The grouped warm solve supports
-    # only the newton dimension prepass; with the anchor prepass
-    # configured, dimension moves fall back to per-target solves.
-    # read at build time so two evaluators with different settings can
-    # coexist in one process (BAYHUNTER_GROUP_SWD=0 disables, for A/B)
-    group_swd = os.environ.get('BAYHUNTER_GROUP_SWD', '1') == '1'
+    # same-wave-type SWD targets CAN share one grouped solver call in
+    # the batch path (e.g. Rayleigh phase + Rayleigh group): the
+    # secular kernel's fixed per-invocation cost then amortizes
+    # across the targets' concatenated lanes (ops/swd.py
+    # surfdisp_roots_batch_grouped).  Measured on a real v5e chip
+    # (2026-08-18, 6-target joint config, scripts/bench_group_swd.py)
+    # this LOSES 13% end-to-end: the concatenated lanes couple the
+    # targets' warm-search trip counts — every joint call runs to the
+    # max trip count over both targets with twice the lanes, which
+    # outweighs the halved invocation count — so grouping defaults
+    # OFF (BAYHUNTER_GROUP_SWD=1 enables, for A/B or dispatch-bound
+    # configs).  The grouped warm solve supports only the newton
+    # dimension prepass; with the anchor prepass configured,
+    # dimension moves fall back to per-target solves.  Read at build
+    # time so two evaluators with different settings can coexist in
+    # one process.
+    group_swd = os.environ.get('BAYHUNTER_GROUP_SWD', '0') == '1'
     swd_group_of = {}
     if group_swd:
         by_key = {}
