@@ -334,7 +334,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         for i in range(1, nl - 1):
             carry = layer_step(i, carry)
     else:
-        top = top_ref[0, 0]
+        top = top_ref[pl.program_id(0), 0]
         for i in range(1, nl - 1):
             carry = jax.lax.cond(i <= top,
                                  functools.partial(layer_step, i),

@@ -75,6 +75,10 @@ def main():
                        'iter_main': MAIN,
                        'propdist': (0.025, 0.025, 0.015, 0.005, 0.005),
                        'savepath': savepath})
+    # isolation knob for on-chip A/B (resort is exact relabeling, but
+    # with the RF dynamic skip the tile-mates differ)
+    if os.environ.get('BAYHUNTER_VP_RESORT') == '0':
+        initparams['resort_chains'] = False
 
     t0 = time.time()
     optimizer = MCMC_Optimizer(targets, initparams=initparams,
