@@ -71,18 +71,24 @@ def _exe(e, x):
                 x[..., 1, 0] * e12, x[..., 1, 1] * e22 * e22)
 
 
+def _sqrt_relu(x):
+    """sqrt(max(x, 0)) with a differentiation-safe zero branch: the
+    plain composition has a 0*inf = NaN tangent wherever the clamp is
+    active, which poisons jax.linearize through the solver
+    (ops/rf_pd.py).  Double-where keeps the primal bit-identical and
+    the tangent zero on the clamped side."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def _csqrt_conj(x, cdtype):
     """conj(sqrt(complex(x))) for real x: -i*sqrt(-x) when x < 0."""
-    xp = jnp.sqrt(jnp.maximum(x, 0.0))
-    xn = jnp.sqrt(jnp.maximum(-x, 0.0))
-    return (xp - 1j * xn).astype(cdtype)
+    return (_sqrt_relu(x) - 1j * _sqrt_relu(-x)).astype(cdtype)
 
 
 def _csqrt_plain(x, cdtype):
     """sqrt(complex(x)) for real x: +i*sqrt(-x) when x < 0."""
-    xp = jnp.sqrt(jnp.maximum(x, 0.0))
-    xn = jnp.sqrt(jnp.maximum(-x, 0.0))
-    return (xp + 1j * xn).astype(cdtype)
+    return (_sqrt_relu(x) + 1j * _sqrt_relu(-x)).astype(cdtype)
 
 
 # ----------------------------------------------------------------------
@@ -318,7 +324,7 @@ def _transmission_response(h, vp, vs, rho, qp, qs, slowness, nsamp, fsamp,
     # direct-wave travel time t0 (greens.cpp:509-526); the halfspace
     # enters with its h = -1 sentinel (model.cpp:12-20, synrf.cpp:31).
     v_dir = vp if wave_type == P_WAVE else vs
-    q_vert = jnp.sqrt(jnp.maximum(1.0 / (v_dir * v_dir) - p2, 0.0))
+    q_vert = _sqrt_relu(1.0 / (v_dir * v_dir) - p2)
     h_t0 = h.at[-1].set(-1.0)
     t0 = jnp.sum(h_t0 * q_vert)
 
@@ -421,8 +427,10 @@ def _transmission_response(h, vp, vs, rho, qp, qs, slowness, nsamp, fsamp,
 
 def _decompose_zr(cz, cr, p, vp0, vs0):
     """Z/R → P/SV wavefield decomposition (greens.cpp:324-341)."""
-    a = jnp.sqrt(jnp.maximum(1.0 / (vp0 * vp0) - p * p, 1e-30))
-    b = jnp.sqrt(jnp.maximum(1.0 / (vs0 * vs0) - p * p, 1e-30))
+    fa = 1.0 / (vp0 * vp0) - p * p
+    fb = 1.0 / (vs0 * vs0) - p * p
+    a = jnp.sqrt(jnp.where(fa > 1e-30, fa, 1e-30))
+    b = jnp.sqrt(jnp.where(fb > 1e-30, fb, 1e-30))
     m11 = -(2.0 * vs0 * vs0 * p * p - 1.0) / (vp0 * a)
     m12 = 2.0 * p * vs0 * vs0 / vp0
     m21 = -2.0 * p * vs0
