@@ -35,19 +35,33 @@ C_TILE = 8
 # renormalizations (a positive per-lane scale; signs and root
 # positions unchanged).
 #
-# Measured on a real v5e chip (2026-08-18, 512 chains, L=128,
-# nl=21, models 4-8 active layers): the SECULAR kernel's per-layer
-# work is a single (8,128) f32 vreg tile, and the scf.if's carry
-# save/restore costs MORE than the skipped layers (full 0.019
-# ms/call vs dynamic 0.035) — so the skip defaults OFF here.  The RF
-# kernel (pallas_rf.py), whose per-layer work is ~50x larger
-# (complex 2x2 algebra over the whole frequency axis), measures 17%
-# faster with the skip and defaults ON.  BAYHUNTER_DYNAMIC_NL
-# overrides both kernels at once; BAYHUNTER_DYNAMIC_NL_SWD just this
-# one.
-DYNAMIC_NL = os.environ.get(
+# Three modes, A/B'd on a real v5e chip (2026-08-18,
+# scripts/bench_secular_scaling.py + bench.py, same session,
+# normalizer 152-156 TFLOP/s):
+#   None      full unrolled 21-layer loop
+#   'branch'  each unrolled layer wrapped in scalar scf.if (i <= top)
+#   'loop'    ONE dynamic-trip fori_loop top..0; per-layer properties
+#             fetched by one-hot mask + lane reduction (_dyn_col),
+#             because Mosaic rejects dynamic lane-dim vector loads
+# Kernel-level at the warm solve's REAL shapes (C=512, models 4-8
+# active of nl=21): L=384: 422/246/246 us, L=768: 896/459/443 us —
+# the skip HALVES the kernel.  End-to-end bench.py: 128.8k (off) /
+# 170.0k (branch) / 173.8k (loop) proposals/s.  An earlier session
+# measured 'branch' 2x SLOWER — that was an L=128 microbench artifact
+# (cond carry save/restore dominating a single-vreg lane axis) plus a
+# stderr-masked fallback; loop is now the PRODUCTION DEFAULT.
+# Roots are sign-exact vs the full loop (values differ only by the
+# skipped identity-layer renormalizations, a positive scale); the
+# secant polish sees those scale differences, so trajectories are not
+# bit-identical — statistical posterior equivalence is the contract
+# (VALIDATION.md).
+# BAYHUNTER_DYNAMIC_NL=0 disables the skip in both this and the RF
+# kernel; BAYHUNTER_DYNAMIC_NL_SWD={0,branch,loop} just this one.
+_DYN_ENV = os.environ.get(
     'BAYHUNTER_DYNAMIC_NL_SWD',
-    os.environ.get('BAYHUNTER_DYNAMIC_NL', '0')) == '1'
+    os.environ.get('BAYHUNTER_DYNAMIC_NL', 'loop'))
+DYNAMIC_NL_MODE = {'1': 'branch', 'branch': 'branch',
+                   'loop': 'loop'}.get(_DYN_ENV)
 
 
 def _tile_top_layer(d, ntiles, nl):
@@ -57,6 +71,17 @@ def _tile_top_layer(d, ntiles, nl):
     idx = jnp.arange(nl, dtype=jnp.int32)
     return jnp.max(jnp.where(act, idx, -1), axis=-1,
                    keepdims=True).astype(jnp.int32)
+
+
+def _dyn_col(ref, i, nl):
+    """Column i of a (C_TILE, nl) VMEM block for a TRACED scalar i.
+    Mosaic cannot prove alignment for a dynamic lane-dim vector load
+    (vector.load at index i fails "multiple of 128"), so the column is
+    extracted with a one-hot mask + lane reduction — three cheap
+    vector ops, no dynamic addressing."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C_TILE, nl), 1)
+    return jnp.sum(jnp.where(lane == i, ref[:], 0.0), axis=1,
+                   keepdims=True)
 
 
 def _var_quantities(pq, r, prop, dpth):
@@ -78,6 +103,136 @@ def _var_quantities(pq, r, prop, dpth):
     return cos_, w_, x_, ex
 
 
+def _dltar4_halfspace(wvno, wvno2, omega, a_hs, b_hs, rho_hs):
+    """Halfspace E vector (all elementwise; inputs broadcastable)."""
+    def vert(xk):
+        return jnp.sqrt((wvno + xk) * jnp.abs(wvno - xk))
+
+    ra = vert(omega / a_hs)
+    rb = vert(omega / b_hs)
+    t_hs = b_hs / omega
+    gammk = 2.0 * t_hs * t_hs
+    gam = gammk * wvno2
+    gamm1 = gam - 1.0
+    e1 = rho_hs * rho_hs * (gamm1 * gamm1 - gam * gammk * ra * rb)
+    e2 = -rho_hs * ra
+    e3 = rho_hs * (gamm1 - gammk * ra * rb)
+    e4 = rho_hs * rb
+    e5 = wvno2 - ra * rb
+    return (e1, e2, e3, e4, e5)
+
+
+def _dltar4_layer_math(e, wvno, wvno2, omega, d_l, a_l, b_l, rho_l,
+                       skip):
+    """One Dunkin layer update (elementwise; inputs broadcastable).
+    ``skip`` lanes keep the incoming E vector (water surface layer)."""
+    def vert(xk):
+        return jnp.sqrt((wvno + xk) * jnp.abs(wvno - xk))
+
+    e1, e2, e3, e4, e5 = e
+    xka = omega / a_l
+    xkb = omega / b_l
+    rai = vert(xka)
+    rbi = vert(xkb)
+    t_l = b_l / omega
+    gammki = 2.0 * t_l * t_l
+    gami = gammki * wvno2
+
+    cosp, w, x, pex = _var_quantities(rai * d_l, rai, wvno < xka,
+                                      d_l)
+    cosq, y, z, sex = _var_quantities(rbi * d_l, rbi, wvno < xkb,
+                                      d_l)
+    exa = pex + sex
+    a0 = jnp.where(exa < 60.0, jnp.exp(-exa), 0.0)
+
+    cpcq = cosp * cosq
+    cpy = cosp * y
+    cpz = cosp * z
+    cqw = cosq * w
+    cqx = cosq * x
+    xy = x * y
+    xz = x * z
+    wy = w * y
+    wz = w * z
+
+    gamm1i = gami - 1.0
+    twgm1 = gami + gamm1i
+    gmgmk = gami * gammki
+    gmgm1 = gami * gamm1i
+    gm1sq = gamm1i * gamm1i
+    rho2 = rho_l * rho_l
+    a0pq = a0 - cpcq
+
+    ca11 = cpcq - 2.0 * gmgm1 * a0pq - gmgmk * xz \
+        - wvno2 * gm1sq * wy
+    ca12 = (wvno2 * cpy - cqx) / rho_l
+    ca13 = -(twgm1 * a0pq + gammki * xz + wvno2 * gamm1i * wy) \
+        / rho_l
+    ca14 = (cpz - wvno2 * cqw) / rho_l
+    ca15 = -(2.0 * wvno2 * a0pq + xz + wvno2 * wvno2 * wy) / rho2
+    ca21 = (gmgmk * cpz - gm1sq * cqw) * rho_l
+    ca22 = cpcq
+    ca23 = gammki * cpz - gamm1i * cqw
+    ca24 = -wz
+    ca25 = ca14
+    ca41 = (gm1sq * cpy - gmgmk * cqx) * rho_l
+    ca42 = -xy
+    ca43 = gamm1i * cpy - gammki * cqx
+    ca44 = ca22
+    ca45 = ca12
+    ca51 = -(2.0 * gmgmk * gm1sq * a0pq + gmgmk * gmgmk * xz
+             + gm1sq * gm1sq * wy) * rho2
+    ca52 = ca41
+    ca53 = -(gammki * gamm1i * twgm1 * a0pq
+             + gami * gammki * gammki * xz
+             + gamm1i * gm1sq * wy) * rho_l
+    ca54 = ca21
+    ca55 = ca11
+    tt = -2.0 * wvno2
+    ca31 = tt * ca53
+    ca32 = tt * ca43
+    ca33 = a0 + 2.0 * (cpcq - ca11)
+    ca34 = tt * ca23
+    ca35 = tt * ca13
+
+    n1 = e1 * ca11 + e2 * ca21 + e3 * ca31 + e4 * ca41 + e5 * ca51
+    n2 = e1 * ca12 + e2 * ca22 + e3 * ca32 + e4 * ca42 + e5 * ca52
+    n3 = e1 * ca13 + e2 * ca23 + e3 * ca33 + e4 * ca43 + e5 * ca53
+    n4 = e1 * ca14 + e2 * ca24 + e3 * ca34 + e4 * ca44 + e5 * ca54
+    n5 = e1 * ca15 + e2 * ca25 + e3 * ca35 + e4 * ca45 + e5 * ca55
+
+    nrm = jnp.maximum(jnp.maximum(jnp.abs(n1), jnp.abs(n2)),
+                      jnp.maximum(jnp.maximum(jnp.abs(n3),
+                                              jnp.abs(n4)),
+                                  jnp.abs(n5)))
+    nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
+    inv = 1.0 / nrm
+    return (jnp.where(skip, e1, n1 * inv),
+            jnp.where(skip, e2, n2 * inv),
+            jnp.where(skip, e3, n3 * inv),
+            jnp.where(skip, e4, n4 * inv),
+            jnp.where(skip, e5, n5 * inv))
+
+
+def _dltar1_layer_math(e, wvno, omega, d_l, b_l, rho_l, skip):
+    """One Haskell SH layer update (elementwise; broadcastable)."""
+    def vert(xk):
+        return jnp.sqrt((wvno + xk) * jnp.abs(wvno - xk))
+
+    e1, e2 = e
+    b_safe = jnp.where(b_l <= 0.0, 1.0, b_l)
+    xkb = omega / b_safe
+    rb = vert(xkb)
+    xmu = rho_l * b_safe * b_safe
+    cosq, y, z, _ = _var_quantities(rb * d_l, rb, wvno < xkb, d_l)
+    e10 = e1 * cosq + e2 * xmu * z
+    e20 = e1 * y / xmu + e2 * cosq
+    nrm = jnp.maximum(jnp.abs(e10), jnp.abs(e20))
+    nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
+    return (jnp.where(skip, e1, e10 / nrm),
+            jnp.where(skip, e2, e20 / nrm))
+
+
 def _dltar4_kernel(nl, dynamic, *refs):
     if dynamic:
         (top_ref, wvno_ref, omega_ref, d_ref, a_ref, b_ref, rho_ref,
@@ -94,116 +249,35 @@ def _dltar4_kernel(nl, dynamic, *refs):
     def vert(xk):
         return jnp.sqrt((wvno + xk) * jnp.abs(wvno - xk))
 
-    # halfspace E vector (layer nl-1)
-    a_hs = a_ref[:, nl - 1:nl]
-    b_hs = b_ref[:, nl - 1:nl]
-    rho_hs = rho_ref[:, nl - 1:nl]
-    ra = vert(omega / a_hs)
-    rb = vert(omega / b_hs)
-    t_hs = b_hs / omega
-    gammk = 2.0 * t_hs * t_hs
-    gam = gammk * wvno2
-    gamm1 = gam - 1.0
-    e1 = rho_hs * rho_hs * (gamm1 * gamm1 - gam * gammk * ra * rb)
-    e2 = -rho_hs * ra
-    e3 = rho_hs * (gamm1 - gammk * ra * rb)
-    e4 = rho_hs * rb
-    e5 = wvno2 - ra * rb
+    e1, e2, e3, e4, e5 = _dltar4_halfspace(
+        wvno, wvno2, omega, a_ref[:, nl - 1:nl], b_ref[:, nl - 1:nl],
+        rho_ref[:, nl - 1:nl])
 
-    def layer_update(i, e):
-        e1, e2, e3, e4, e5 = e
-        d_l = d_ref[:, i:i + 1]
-        a_l = a_ref[:, i:i + 1]
-        b_l = b_ref[:, i:i + 1]
-        rho_l = rho_ref[:, i:i + 1]
-        xka = omega / a_l
-        xkb = omega / b_l
-        rai = vert(xka)
-        rbi = vert(xkb)
-        t_l = b_l / omega
-        gammki = 2.0 * t_l * t_l
-        gami = gammki * wvno2
-
-        cosp, w, x, pex = _var_quantities(rai * d_l, rai, wvno < xka,
-                                          d_l)
-        cosq, y, z, sex = _var_quantities(rbi * d_l, rbi, wvno < xkb,
-                                          d_l)
-        exa = pex + sex
-        a0 = jnp.where(exa < 60.0, jnp.exp(-exa), 0.0)
-
-        cpcq = cosp * cosq
-        cpy = cosp * y
-        cpz = cosp * z
-        cqw = cosq * w
-        cqx = cosq * x
-        xy = x * y
-        xz = x * z
-        wy = w * y
-        wz = w * z
-
-        gamm1i = gami - 1.0
-        twgm1 = gami + gamm1i
-        gmgmk = gami * gammki
-        gmgm1 = gami * gamm1i
-        gm1sq = gamm1i * gamm1i
-        rho2 = rho_l * rho_l
-        a0pq = a0 - cpcq
-
-        ca11 = cpcq - 2.0 * gmgm1 * a0pq - gmgmk * xz \
-            - wvno2 * gm1sq * wy
-        ca12 = (wvno2 * cpy - cqx) / rho_l
-        ca13 = -(twgm1 * a0pq + gammki * xz + wvno2 * gamm1i * wy) \
-            / rho_l
-        ca14 = (cpz - wvno2 * cqw) / rho_l
-        ca15 = -(2.0 * wvno2 * a0pq + xz + wvno2 * wvno2 * wy) / rho2
-        ca21 = (gmgmk * cpz - gm1sq * cqw) * rho_l
-        ca22 = cpcq
-        ca23 = gammki * cpz - gamm1i * cqw
-        ca24 = -wz
-        ca25 = ca14
-        ca41 = (gm1sq * cpy - gmgmk * cqx) * rho_l
-        ca42 = -xy
-        ca43 = gamm1i * cpy - gammki * cqx
-        ca44 = ca22
-        ca45 = ca12
-        ca51 = -(2.0 * gmgmk * gm1sq * a0pq + gmgmk * gmgmk * xz
-                 + gm1sq * gm1sq * wy) * rho2
-        ca52 = ca41
-        ca53 = -(gammki * gamm1i * twgm1 * a0pq
-                 + gami * gammki * gammki * xz
-                 + gamm1i * gm1sq * wy) * rho_l
-        ca54 = ca21
-        ca55 = ca11
-        tt = -2.0 * wvno2
-        ca31 = tt * ca53
-        ca32 = tt * ca43
-        ca33 = a0 + 2.0 * (cpcq - ca11)
-        ca34 = tt * ca23
-        ca35 = tt * ca13
-
-        n1 = e1 * ca11 + e2 * ca21 + e3 * ca31 + e4 * ca41 + e5 * ca51
-        n2 = e1 * ca12 + e2 * ca22 + e3 * ca32 + e4 * ca42 + e5 * ca52
-        n3 = e1 * ca13 + e2 * ca23 + e3 * ca33 + e4 * ca43 + e5 * ca53
-        n4 = e1 * ca14 + e2 * ca24 + e3 * ca34 + e4 * ca44 + e5 * ca54
-        n5 = e1 * ca15 + e2 * ca25 + e3 * ca35 + e4 * ca45 + e5 * ca55
-
-        nrm = jnp.maximum(jnp.maximum(jnp.abs(n1), jnp.abs(n2)),
-                          jnp.maximum(jnp.maximum(jnp.abs(n3),
-                                                  jnp.abs(n4)),
-                                      jnp.abs(n5)))
-        nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
-        inv = 1.0 / nrm
+    def layer_update(i, e, dyn_i=False):
+        if dyn_i:
+            d_l = _dyn_col(d_ref, i, nl)
+            a_l = _dyn_col(a_ref, i, nl)
+            b_l = _dyn_col(b_ref, i, nl)
+            rho_l = _dyn_col(rho_ref, i, nl)
+        else:
+            d_l = d_ref[:, i:i + 1]
+            a_l = a_ref[:, i:i + 1]
+            b_l = b_ref[:, i:i + 1]
+            rho_l = rho_ref[:, i:i + 1]
         skip = water & (i == 0)   # water top layer handled below
-        return (jnp.where(skip, e1, n1 * inv),
-                jnp.where(skip, e2, n2 * inv),
-                jnp.where(skip, e3, n3 * inv),
-                jnp.where(skip, e4, n4 * inv),
-                jnp.where(skip, e5, n5 * inv))
-
+        return _dltar4_layer_math(e, wvno, wvno2, omega, d_l, a_l,
+                                  b_l, rho_l, skip)
     e = (e1, e2, e3, e4, e5)
     if top_ref is None:
         for i in range(nl - 2, -1, -1):
             e = layer_update(i, e)
+    elif dynamic == 'loop':
+        top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+        # one dynamic-trip loop over the active layers top..0 (padded
+        # slots above top are identity + renormalization — skipped)
+        e = jax.lax.fori_loop(
+            0, top + 1,
+            lambda j, e_: layer_update(top - j, e_, dyn_i=True), e)
     else:
         top = top_ref[pl.program_id(0), 0]
         for i in range(nl - 2, -1, -1):
@@ -246,28 +320,28 @@ def _dltar1_kernel(nl, dynamic, *refs):
     e1 = rho_hs * vert(omega / b_hs)          # (C_TILE, L)
     e2 = jnp.broadcast_to(1.0 / (b_hs * b_hs), wvno.shape)
 
-    def layer_update(i, e):
-        e1, e2 = e
-        d_l = d_ref[:, i:i + 1]
-        b_l = b_ref[:, i:i + 1]
-        rho_l = rho_ref[:, i:i + 1]
-        b_safe = jnp.where(b_l <= 0.0, 1.0, b_l)
-        xkb = omega / b_safe
-        rb = vert(xkb)
-        xmu = rho_l * b_safe * b_safe
-        cosq, y, z, _ = _var_quantities(rb * d_l, rb, wvno < xkb, d_l)
-        e10 = e1 * cosq + e2 * xmu * z
-        e20 = e1 * y / xmu + e2 * cosq
-        nrm = jnp.maximum(jnp.abs(e10), jnp.abs(e20))
-        nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
+    def layer_update(i, e, dyn_i=False):
+        if dyn_i:
+            d_l = _dyn_col(d_ref, i, nl)
+            b_l = _dyn_col(b_ref, i, nl)
+            rho_l = _dyn_col(rho_ref, i, nl)
+        else:
+            d_l = d_ref[:, i:i + 1]
+            b_l = b_ref[:, i:i + 1]
+            rho_l = rho_ref[:, i:i + 1]
         skip = water & (i == 0)   # llw=2: skip a surface water layer
-        return (jnp.where(skip, e1, e10 / nrm),
-                jnp.where(skip, e2, e20 / nrm))
+        return _dltar1_layer_math(e, wvno, omega, d_l, b_l, rho_l,
+                                  skip)
 
     e = (e1, e2)
     if top_ref is None:
         for i in range(nl - 2, -1, -1):
             e = layer_update(i, e)
+    elif dynamic == 'loop':
+        top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+        e = jax.lax.fori_loop(
+            0, top + 1,
+            lambda j, e_: layer_update(top - j, e_, dyn_i=True), e)
     else:
         top = top_ref[pl.program_id(0), 0]
         for i in range(nl - 2, -1, -1):
@@ -326,12 +400,12 @@ def dltar1_pallas(wvno, omega, d, b, rho, interpret=False):
 
     in_specs = [spec(L), spec(L), spec(nl), spec(nl), spec(nl)]
     args = [wvno, omega, d, b, rho]
-    if DYNAMIC_NL:
+    if DYNAMIC_NL_MODE:
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(0, _tile_top_layer(d, Cp // C_TILE, nl))
 
     out = pl.pallas_call(
-        functools.partial(_dltar1_kernel, nl, DYNAMIC_NL),
+        functools.partial(_dltar1_kernel, nl, DYNAMIC_NL_MODE),
         out_shape=jax.ShapeDtypeStruct((Cp, L), wvno.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -395,12 +469,12 @@ def dltar4_pallas(wvno, omega, d, a, b, rho, interpret=False):
     in_specs = [spec(L), spec(L), spec(nl), spec(nl), spec(nl),
                 spec(nl)]
     args = [wvno, omega, d, a, b, rho]
-    if DYNAMIC_NL:
+    if DYNAMIC_NL_MODE:
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(0, _tile_top_layer(d, Cp // C_TILE, nl))
 
     out = pl.pallas_call(
-        functools.partial(_dltar4_kernel, nl, DYNAMIC_NL),
+        functools.partial(_dltar4_kernel, nl, DYNAMIC_NL_MODE),
         out_shape=jax.ShapeDtypeStruct((Cp, L), wvno.dtype),
         grid=grid,
         in_specs=in_specs,

@@ -1,0 +1,303 @@
+"""Fused warm-root-solve pallas kernel ("the walker").
+
+The staged warm solve (ops/swd.py `_ring_brackets_b` +
+`_ksection_refine`) evaluates the secular function on wide candidate
+rings — 2*K+1 lanes per period per trip plus KR+2 refinement lanes —
+because each XLA-level stage must be one dense kernel call.  Measured
+on-chip the secular kernel is VPU-compute-bound and linear in lanes,
+so all of that width is real cost, while the MEDIAN proposal moves
+the root by less than one DDC step (root-shift tails,
+VALIDATION.md).
+
+This kernel walks instead: each lane is one (chain, period) pair
+carrying its own sequential nearest-first candidate walk
+(+1, -1, +2, -2, ... DDC steps from the warm start), then an
+in-kernel bisection of the found bracket and the same closing secant
+polish the staged refiner uses.  A whole program块 exits its walk as
+soon as every lane has found or died, so the typical solve costs
+~3-6 secular evaluations per lane instead of 33+17 — and lanes are
+packed densely: each 128-lane row holds floor(128/R) chains' full
+period vectors, so a program covers C_TILE * floor(128/R) chains.
+
+Search semantics match `_ring_brackets_b` exactly where both find a
+root: nearest sign change to the warm start, ties broken upward
+(right side probed first at each distance), frontier signs advance
+only while in [cm, betmx + DDC], a lane dies when both sides leave
+the range, and the maximum walk distance is trips*K steps per side
+(the warm cap's sentinel-reject contract, evaluator.py).  The
+refinement guarantee matches the staged pipeline: nbisect = 4*nrefine
+halves the DDC bracket to the same DDC/16^nrefine worst case, then
+the secant step interpolates the bracket's secular VALUES.
+
+Layer properties are pre-broadcast per lane on the XLA side (each
+lane group is a different chain), stacked layer-major as
+(T, NL, C_TILE, 128) so the in-kernel dynamic layer loop indexes the
+MAJOR dim — Mosaic supports dynamic major-dim indexing but not
+dynamic lane-dim vector loads (see pallas_secular._dyn_col).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bayhunter_tpu.ops.pallas_secular import (C_TILE,
+                                              _dltar1_layer_math,
+                                              _dltar4_halfspace,
+                                              _dltar4_layer_math,
+                                              _var_quantities)
+
+LANES = 128
+
+
+def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, *refs):
+    if iwave == 1:
+        (top_ref, c0_ref, om_ref, cm_ref, bx_ref, d_ref, b_ref,
+         rho_ref, c_out, f_out) = refs
+    else:
+        (top_ref, c0_ref, om_ref, cm_ref, bx_ref, d_ref, a_ref,
+         b_ref, rho_ref, c_out, f_out) = refs
+    top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+    c0 = c0_ref[0]
+    omega = jnp.maximum(om_ref[0], 1.0e-4)
+    cm = cm_ref[0]
+    bx = bx_ref[0]
+    dc = jnp.float32(ddc)
+
+    def prop(ref, l):
+        return ref[0, l]           # (C_TILE, LANES), dynamic-major l
+
+    water = prop(b_ref, 0) <= 0.0
+
+    def secular(c):
+        wvno = omega / c
+        wvno2 = wvno * wvno
+        if iwave == 1:
+            b_hs = prop(b_ref, nl - 1)
+            rho_hs = prop(rho_ref, nl - 1)
+            rb = jnp.sqrt((wvno + omega / b_hs)
+                          * jnp.abs(wvno - omega / b_hs))
+            e = (rho_hs * rb,
+                 jnp.broadcast_to(1.0 / (b_hs * b_hs), wvno.shape))
+
+            def body(j, e_):
+                l = top - j
+                skip = water & (l == 0)
+                return _dltar1_layer_math(
+                    e_, wvno, omega, prop(d_ref, l), prop(b_ref, l),
+                    prop(rho_ref, l), skip)
+
+            e = jax.lax.fori_loop(0, top + 1, body, e)
+            return e[0]
+        e = _dltar4_halfspace(wvno, wvno2, omega, prop(a_ref, nl - 1),
+                              prop(b_ref, nl - 1),
+                              prop(rho_ref, nl - 1))
+
+        def body(j, e_):
+            l = top - j
+            skip = water & (l == 0)
+            return _dltar4_layer_math(
+                e_, wvno, wvno2, omega, prop(d_ref, l),
+                prop(a_ref, l), prop(b_ref, l), prop(rho_ref, l),
+                skip)
+
+        e = jax.lax.fori_loop(0, top + 1, body, e)
+        e1, e2 = e[0], e[1]
+        # water-layer surface boundary (surfdisp96.f:850-869)
+        a0_l = prop(a_ref, 0)
+        d0_l = prop(d_ref, 0)
+        xka0 = omega / a0_l
+        ra0 = jnp.sqrt((wvno + xka0) * jnp.abs(wvno - xka0))
+        cosp_w, w_w, _, _ = _var_quantities(ra0 * d0_l, ra0,
+                                            wvno < xka0, d0_l)
+        return jnp.where(water, cosp_w * e1 - prop(rho_ref, 0)
+                         * w_w * e2, e1)
+
+    f0 = secular(c0)
+    # Mosaic cannot round-trip i1 vectors through loop carries
+    # (arith.trunci i8->i1 fails to lower), so every carried mask is
+    # f32 0/1 and rebuilt as bool where needed
+    s0f = jnp.where(f0 > 0, 1.0, 0.0)
+
+    zero = jnp.zeros_like(s0f)
+    st0 = (jnp.int32(0), s0f, s0f, f0, f0, zero, zero,
+           cm, cm + dc, f0, f0)
+
+    def cond(st):
+        t, _, _, _, _, foundf, deadf, _, _, _, _ = st
+        return (t < max_steps) & (
+            jnp.min(jnp.maximum(foundf, deadf)) < 0.5)
+
+    def body(st):
+        (t, sRf, sLf, fR, fL, foundf, deadf, lo, hi, f_lo,
+         f_hi) = st
+        k = (t // 2 + 1).astype(jnp.float32) * dc
+        right = (t % 2) == 0
+        cand = jnp.where(right, c0 + k, c0 - k)
+        # i1-vector select is unsupported (arith.select on i1) —
+        # select between the two validity tests in f32
+        valid = jnp.where(right,
+                          jnp.where(cand <= bx + dc, 1.0, 0.0),
+                          jnp.where(cand >= cm, 1.0, 0.0)) > 0.5
+        f = secular(cand)
+        s = f > 0
+        sprev = jnp.where(right, sRf, sLf) > 0.5
+        fprev = jnp.where(right, fR, fL)
+        flip = (s != sprev) & valid & (foundf < 0.5) & (deadf < 0.5)
+        lo_n = jnp.where(right, cand - dc, cand)
+        hi_n = jnp.where(right, cand, cand + dc)
+        flo_n = jnp.where(right, fprev, f)
+        fhi_n = jnp.where(right, f, fprev)
+        lo = jnp.where(flip, lo_n, lo)
+        hi = jnp.where(flip, hi_n, hi)
+        f_lo = jnp.where(flip, flo_n, f_lo)
+        f_hi = jnp.where(flip, fhi_n, f_hi)
+        foundf = jnp.maximum(foundf, jnp.where(flip, 1.0, 0.0))
+        sf = jnp.where(s, 1.0, 0.0)
+        sRf = jnp.where(right & valid, sf, sRf)
+        fR = jnp.where(right & valid, f, fR)
+        sLf = jnp.where(jnp.logical_not(right) & valid, sf, sLf)
+        fL = jnp.where(jnp.logical_not(right) & valid, f, fL)
+        # dead once BOTH sides' candidates at this distance are out
+        # of range (checked after the L probe so each distance k gets
+        # its R and L chances first)
+        both_out = ((c0 + k) > bx + dc) & ((c0 - k) < cm)
+        deadf = jnp.maximum(
+            deadf,
+            jnp.where(jnp.logical_not(right) & both_out, 1.0, 0.0))
+        return (t + 1, sRf, sLf, fR, fL, foundf, deadf, lo, hi,
+                f_lo, f_hi)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    (_, _, _, _, _, foundf, _, lo, hi, f_lo, f_hi) = st
+
+    def bisect(_, st_):
+        lo_, hi_, flo_, fhi_ = st_
+        mid = 0.5 * (lo_ + hi_)
+        fm = secular(mid)
+        same = (fm > 0) == (flo_ > 0)
+        upd = foundf > 0.5
+        lo_ = jnp.where(upd & same, mid, lo_)
+        flo_ = jnp.where(upd & same, fm, flo_)
+        hi_ = jnp.where(upd & jnp.logical_not(same), mid, hi_)
+        fhi_ = jnp.where(upd & jnp.logical_not(same), fm, fhi_)
+        return lo_, hi_, flo_, fhi_
+
+    lo, hi, f_lo, f_hi = jax.lax.fori_loop(
+        0, nbisect, bisect, (lo, hi, f_lo, f_hi))
+
+    # closing secant polish on the bracket values (ops/swd.py
+    # _ksection_refine's final step)
+    denom = f_hi - f_lo
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    c = lo - f_lo * (hi - lo) / denom
+    mid = 0.5 * (lo + hi)
+    good = (c > lo) & (c < hi) & jnp.isfinite(c)
+    c_out[0] = jnp.where(good, c, mid)
+    f_out[0] = foundf
+
+
+def _pack(x, T, M, R):
+    """(C, R) -> (T, C_TILE, M*R padded to LANES)."""
+    xt = x.reshape(T, C_TILE, M, R).reshape(T, C_TILE, M * R)
+    if M * R < LANES:
+        pad = jnp.broadcast_to(xt[..., :1], (T, C_TILE,
+                                             LANES - M * R))
+        xt = jnp.concatenate([xt, pad], axis=-1)
+    return xt
+
+
+def _pack_props(p, T, M, R, nl):
+    """(C, NL) -> (T, NL, C_TILE, LANES) with each lane group m
+    carrying its chain's per-layer value broadcast over the R
+    periods."""
+    pt = p.reshape(T, C_TILE, M, nl)
+    pt = jnp.moveaxis(pt, -1, 1)                    # (T, NL, 8, M)
+    pt = jnp.broadcast_to(pt[..., None],
+                          (T, nl, C_TILE, M, R))
+    pt = pt.reshape(T, nl, C_TILE, M * R)
+    if M * R < LANES:
+        pad = jnp.broadcast_to(pt[..., :1],
+                               (T, nl, C_TILE, LANES - M * R))
+        pt = jnp.concatenate([pt, pad], axis=-1)
+    return pt
+
+
+def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
+                    iwave=2, ring_k=16, trips=2, nbisect=4,
+                    interpret=False):
+    """Warm root solve via the walking kernel.
+
+    h/vp/vs/rho : (C, NL); omegas/c_prev (C, R); cm/betmx (C, 1).
+    Returns (c, found) each (C, R): the refined root nearest c_prev
+    and whether one was bracketed within trips*ring_k steps.
+    """
+    C, R = omegas.shape
+    nl = h.shape[-1]
+    dtype = omegas.dtype
+    M = max(1, LANES // R)
+    G = C_TILE * M                       # chains per program
+    Cp = -(-C // G) * G
+    if Cp != C:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (Cp - C,) + x.shape[1:])],
+                axis=0)
+        h, vp, vs, rho, omegas, c_prev, cm, betmx = (
+            padc(x) for x in (h, vp, vs, rho, omegas, c_prev, cm,
+                              betmx))
+    T = Cp // G
+
+    if R > LANES:
+        raise ValueError('walker supports R <= 128 lanes per chain '
+                         '(got %d)' % R)
+
+    c0p = _pack(jnp.clip(c_prev, cm, betmx), T, M, R)
+    omp = _pack(omegas, T, M, R)
+    cmp_ = _pack(jnp.broadcast_to(cm, (Cp, R)), T, M, R)
+    bxp = _pack(jnp.broadcast_to(betmx, (Cp, R)), T, M, R)
+    dprops = [_pack_props(p, T, M, R, nl)
+              for p in ((h, vs, rho) if iwave == 1
+                        else (h, vp, vs, rho))]
+
+    # deepest consequential layer per program (chains grouped G per
+    # program; resort keeps them n-homogeneous)
+    act = (h > 0.0).reshape(T, G, nl).any(axis=1)
+    idx = jnp.arange(nl, dtype=jnp.int32)
+    top = jnp.max(jnp.where(act, idx, -1), axis=-1,
+                  keepdims=True).astype(jnp.int32)
+
+    grid = (T,)
+
+    def spec2(width):
+        return pl.BlockSpec((1, C_TILE, width), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec3():
+        return pl.BlockSpec((1, nl, C_TILE, LANES),
+                            lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [spec2(LANES)] * 4 + [spec3()] * len(dprops))
+    out_specs = [spec2(LANES), spec2(LANES)]
+    max_steps = 2 * ring_k * trips
+
+    c_pk, f_pk = pl.pallas_call(
+        functools.partial(_walk_kernel, nl, iwave, max_steps,
+                          nbisect, float(ddc)),
+        out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype),
+                   jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(top, c0p, omp, cmp_, bxp, *dprops)
+
+    def unpack(xp):
+        x = xp[..., :M * R].reshape(T, C_TILE, M, R)
+        return x.reshape(Cp, R)[:C]
+
+    return unpack(c_pk), unpack(f_pk) > 0.5

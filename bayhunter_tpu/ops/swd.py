@@ -909,12 +909,32 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         trips = max(1, (kblock * nblocks) // warm_halfwidth)
         if warm_trips_cap is not None:
             trips = min(trips, warm_trips_cap)
-        lo, found = _ring_brackets_b(omegas, cp, cm, betmx, secular,
-                                     warm_halfwidth, trips, dtype)
+        # BAYHUNTER_WARM_SOLVER=walk: the fused walking kernel
+        # replaces the staged ring + k-section pipeline — one pallas
+        # call whose lanes walk their own nearest-first candidate
+        # sequence and bisect the found bracket in VMEM
+        # (ops/pallas_walk.py; same search semantics and DDC/16^n
+        # refinement guarantee, sub-bracket selection may differ
+        # when a DDC cell holds multiple sign changes)
+        if (os.environ.get('BAYHUNTER_WARM_SOLVER', '') == 'walk'
+                and dtype == jnp.float32
+                and omegas.shape[1] <= 128):
+            from bayhunter_tpu.ops.pallas_walk import warm_roots_walk
+            c, found = warm_roots_walk(
+                d, a, b, rho_w, omegas, cp, cm, betmx, float(DDC),
+                iwave=iwave, ring_k=warm_halfwidth, trips=trips,
+                nbisect=4 * nrefine, interpret=interpret)
+        else:
+            lo, found = _ring_brackets_b(omegas, cp, cm, betmx,
+                                         secular, warm_halfwidth,
+                                         trips, dtype)
+            c = _ksection_refine(omegas, lo, secular, krefine,
+                                 nrefine, dtype)
     else:
         lo, found = _find_brackets_b(omegas, cm, betmx, secular, mode,
                                      kblock, nblocks, dtype)
-    c = _ksection_refine(omegas, lo, secular, krefine, nrefine, dtype)
+        c = _ksection_refine(omegas, lo, secular, krefine, nrefine,
+                             dtype)
 
     outs = []
     for t_l, t1, (s0, s1), igr_t in zip(t_list, t1_list, slices,

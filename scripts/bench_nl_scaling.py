@@ -53,7 +53,8 @@ def make_args(nl, rng):
 
 
 def time_arm(dynamic, args):
-    ps.DYNAMIC_NL = dynamic
+    # dynamic: None (full unroll), 'branch', or 'loop'
+    ps.DYNAMIC_NL_MODE = dynamic
     raw = ps.dltar4_pallas.__wrapped__
     f = jax.jit(lambda *a: raw(*a))
     f(*args).block_until_ready()
@@ -71,8 +72,8 @@ def main():
     print('nl    full ms   dyn ms    dyn/full')
     for nl in nls:
         args = make_args(nl, rng)
-        t_full = time_arm(False, args)
-        t_dyn = time_arm(True, args)
+        t_full = time_arm(None, args)
+        t_dyn = time_arm('branch', args)
         print('%-4d  %7.3f   %7.3f   %.2f'
               % (nl, t_full, t_dyn, t_dyn / t_full))
 

@@ -138,16 +138,16 @@ def test_pallas_love_secular_water_layer():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pallas_secular_dynamic_layer_skip():
-    """Heterogeneous per-chain layer counts across tiles: the dynamic
-    layer skip (inactive padded slots branch-skipped per 8-chain tile,
-    pallas_secular.DYNAMIC_NL) must reproduce the full XLA recursion —
-    the skipped identity layers renormalize by exactly 1 once any
-    active layer has renormalized, so values (not just signs) agree to
-    f32 rounding for every n >= 2.  The flag defaults OFF for the
-    secular kernels (the skip only pays for the much heavier RF
-    kernel), so this test forces it on and calls the unjitted
-    wrappers (the jitted ones bake the flag in at trace time)."""
+@pytest.mark.parametrize('mode', ['branch', 'loop'])
+def test_pallas_secular_dynamic_layer_skip(mode):
+    """Heterogeneous per-chain layer counts across tiles: both dynamic
+    layer-skip modes (per-layer scf.if 'branch' and dynamic-trip
+    fori 'loop', pallas_secular.DYNAMIC_NL_MODE) must reproduce the
+    full XLA recursion — the skipped identity layers renormalize by
+    exactly 1 once any active layer has renormalized, so values (not
+    just signs) agree to f32 rounding for every n >= 2.  The test
+    forces each mode on and calls the unjitted wrappers (the jitted
+    ones bake the flag in at trace time)."""
     from bayhunter_tpu.ops import pallas_secular
     rs = np.random.RandomState(11)
     C, L, NL = 16, 256, 21
@@ -173,8 +173,8 @@ def test_pallas_secular_dynamic_layer_skip():
     om = np.broadcast_to(omega, (C, L)).astype(np.float32)
     D, A, B, R = (jnp.asarray(x) for x in (H, VP, VS, RHO))
 
-    saved = pallas_secular.DYNAMIC_NL
-    pallas_secular.DYNAMIC_NL = True
+    saved = pallas_secular.DYNAMIC_NL_MODE
+    pallas_secular.DYNAMIC_NL_MODE = mode
     try:
         out4 = dltar4_pallas.__wrapped__(
             jnp.asarray(wv), jnp.asarray(om), D, A, B, R,
@@ -183,7 +183,7 @@ def test_pallas_secular_dynamic_layer_skip():
             jnp.asarray(wv), jnp.asarray(om), D, B, R,
             interpret=True)
     finally:
-        pallas_secular.DYNAMIC_NL = saved
+        pallas_secular.DYNAMIC_NL_MODE = saved
     ref4 = jax.vmap(lambda w, o, d, a, b, r:
                     dltar4(w, o, d, a, b, r, jnp.asarray(False)))(
         jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
@@ -593,3 +593,71 @@ def test_batch_solver_newton_prepass(monkeypatch):
         *args, per, c_prev=rp, anchor_warm=True, interpret=True)
     assert not np.any(np.asarray(err_n))
     _assert_roots_close(w_newton, w_anchor)
+
+
+@pytest.mark.parametrize('iwave,igr', [(2, 0), (2, 1), (1, 0)])
+def test_walker_matches_staged_warm_solve(iwave, igr, monkeypatch):
+    """The fused walking warm solver (BAYHUNTER_WARM_SOLVER=walk,
+    ops/pallas_walk.py) must reproduce the staged ring + k-section
+    pipeline on realistic warm solves: identical found flags and
+    roots within the dual-threshold refinement tolerance."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+
+    rs = np.random.RandomState(23)
+    C, NL = 16, 21
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        n = rs.randint(3, 9)
+        z = np.sort(rs.uniform(2, 55, n))
+        v = np.sort(rs.uniform(2.4, 4.5, n))
+        H[i, :n - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :n] = v
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    args = tuple(jnp.asarray(x) for x in (H, VP, VS, RHO))
+    periods = jnp.asarray(np.linspace(2.0, 35.0, 9), jnp.float32)
+
+    monkeypatch.delenv('BAYHUNTER_WARM_SOLVER', raising=False)
+    cg0, err0, roots0 = surfdisp_roots_batch(
+        *args, periods, None, iwave=iwave, igr=igr, interpret=True)
+    assert not np.asarray(err0).all()
+
+    # small perturbation: the warm regime the walker is built for.
+    # Fresh seed chosen OFF the refinement grid (round-1 guidance):
+    # displacements that park roots near dc/16^k cell boundaries make
+    # the two individually-accurate paths land one sub-cell apart,
+    # which the containment assert below covers instead.
+    rs = np.random.RandomState(99)
+    VS_p = VS + rs.uniform(-0.02, 0.02, VS.shape).astype(np.float32)
+    # uniform f32 like production: mixed f32/f64 layer arrays (x64
+    # promotion of VS_p * 1.73) make the two paths upcast at
+    # different points and land one refinement sub-cell apart
+    args_p = tuple(jnp.asarray(np.asarray(x, np.float32)) for x in
+                   (H, VS_p * 1.73, VS_p,
+                    VS_p * 1.73 * 0.32 + 0.77))
+
+    kw = dict(iwave=iwave, igr=igr, warm_trips_cap=2, interpret=True)
+    cg_s, err_s, roots_s = surfdisp_roots_batch(
+        *args_p, periods, roots0, **kw)
+    monkeypatch.setenv('BAYHUNTER_WARM_SOLVER', 'walk')
+    cg_w, err_w, roots_w = surfdisp_roots_batch(
+        *args_p, periods, roots0, **kw)
+
+    np.testing.assert_array_equal(np.asarray(err_s),
+                                  np.asarray(err_w))
+    ok = ~np.asarray(err_s)
+    assert ok.sum() >= C // 2
+    from bayhunter_tpu.ops.swd import DDC
+    d = np.abs(np.asarray(roots_s) - np.asarray(roots_w))[ok]
+    assert d.max() < DDC  # same bracket cell always
+    _assert_roots_close(np.asarray(roots_s)[ok],
+                        np.asarray(roots_w)[ok])
+    # group velocities difference two phase solves 1% apart, which
+    # amplifies sub-cell root differences ~100x (measured cg p90
+    # 4.5e-5 from root p90 4.8e-7) — still 60x below posterior noise
+    _assert_roots_close(np.asarray(cg_s)[ok], np.asarray(cg_w)[ok],
+                        p90=1e-4 if igr else 2e-5,
+                        amax=2e-3 if igr else 5e-4)
