@@ -33,6 +33,7 @@ Fidelity notes (kept deliberately identical to the reference):
     cancels in the receiver function and only shifts fz/fr.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -561,6 +562,22 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
         lambda z, r, vpt, vst: _deconvolve(
             z, r, wave_type, nsamp, fsamp, tshift, gauss_a, slowness,
             vpt, vst, cdtype))(cz, cr, vp_top, nsv)
+    # inverse transform: with the Gauss-cutoff spectrum only `cut`
+    # of nfreq bins are nonzero, so the irfft collapses to two tiny
+    # constant matmuls (cut x nsamp cos/sin tables) — XLA's batched
+    # small FFTs run on scalar/vector units while this rides the MXU.
+    # BAYHUNTER_RF_DFT=0 restores jnp.fft.irfft.
+    if cut < nfreq and os.environ.get('BAYHUNTER_RF_DFT',
+                                      '1') == '1':
+        t = np.arange(nsamp)
+        k = np.arange(cut)
+        ang = 2.0 * np.pi * np.outer(k, t) / nsamp
+        scale = np.full((cut, 1), 2.0 / nsamp)
+        scale[0, 0] = 1.0 / nsamp
+        cos_t = jnp.asarray(np.cos(ang) * scale, rdtype)
+        sin_t = jnp.asarray(np.sin(ang) * (-scale), rdtype)
+        rf = (jnp.real(crf) @ cos_t + jnp.imag(crf) @ sin_t)
+        return rf.astype(rdtype)
     if cut < nfreq:
         crf = jnp.concatenate(
             [crf, jnp.zeros((C, nfreq - cut), crf.dtype)], axis=-1)

@@ -909,14 +909,19 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         trips = max(1, (kblock * nblocks) // warm_halfwidth)
         if warm_trips_cap is not None:
             trips = min(trips, warm_trips_cap)
-        # BAYHUNTER_WARM_SOLVER=walk: the fused walking kernel
-        # replaces the staged ring + k-section pipeline — one pallas
-        # call whose lanes walk their own nearest-first candidate
-        # sequence and bisect the found bracket in VMEM
-        # (ops/pallas_walk.py; same search semantics and DDC/16^n
-        # refinement guarantee, sub-bracket selection may differ
-        # when a DDC cell holds multiple sign changes)
-        if (os.environ.get('BAYHUNTER_WARM_SOLVER', '') == 'walk'
+        # The fused walking kernel replaces the staged ring +
+        # k-section pipeline — one pallas call whose lanes walk their
+        # own nearest-first candidate sequence and bisect the found
+        # bracket in VMEM (ops/pallas_walk.py; same search semantics
+        # and DDC/16^n refinement guarantee, sub-bracket selection
+        # may differ when a DDC cell holds multiple sign changes).
+        # PRODUCTION DEFAULT since the 2026-08-18 on-chip A/B:
+        # 0.49 vs 1.73 ms per warm solve at bench shapes; end-to-end
+        # 235.9k vs 174.2k proposals/s @512 and 367.1k (142.9x
+        # baseline) @10240, posterior revalidated at reference scale.
+        # BAYHUNTER_WARM_SOLVER=staged restores the ring pipeline
+        # (also the automatic fallback for f64 and >128-lane solves).
+        if (os.environ.get('BAYHUNTER_WARM_SOLVER', 'walk') == 'walk'
                 and dtype == jnp.float32
                 and omegas.shape[1] <= 128):
             from bayhunter_tpu.ops.pallas_walk import warm_roots_walk

@@ -121,13 +121,14 @@ def main():
     # unrolled loops rather than failing the benchmark of record.
     def _fallback_dynamic_off(exc):
         import sys
-        if (os.environ.get('BAYHUNTER_DYNAMIC_NL', '1') == '1'
-                and os.environ.get('_BENCH_NL_FALLBACK') != '1'):
+        if os.environ.get('_BENCH_NL_FALLBACK') != '1':
             print('bench warm-up failed (%s: %s); retrying with '
-                  'BAYHUNTER_DYNAMIC_NL=0' % (type(exc).__name__, exc),
+                  'BAYHUNTER_DYNAMIC_NL=0 BAYHUNTER_WARM_SOLVER='
+                  'staged' % (type(exc).__name__, exc),
                   file=sys.stderr)
             env = dict(os.environ,
                        BAYHUNTER_DYNAMIC_NL='0',
+                       BAYHUNTER_WARM_SOLVER='staged',
                        _BENCH_NL_FALLBACK='1')
             os.execve(sys.executable,
                       [sys.executable] + sys.argv, env)

@@ -640,6 +640,7 @@ def test_walker_matches_staged_warm_solve(iwave, igr, monkeypatch):
                     VS_p * 1.73 * 0.32 + 0.77))
 
     kw = dict(iwave=iwave, igr=igr, warm_trips_cap=2, interpret=True)
+    monkeypatch.setenv('BAYHUNTER_WARM_SOLVER', 'staged')
     cg_s, err_s, roots_s = surfdisp_roots_batch(
         *args_p, periods, roots0, **kw)
     monkeypatch.setenv('BAYHUNTER_WARM_SOLVER', 'walk')

@@ -198,3 +198,35 @@ def test_coeff_introspection_normal_incidence():
     np.testing.assert_allclose(abs(ru11), 1.0, atol=1e-12)
     np.testing.assert_allclose(abs(ru12), 0.0, atol=1e-12)
     assert rhu_s == 1.0 + 0.0j
+
+
+def test_batch_dft_matches_irfft(monkeypatch):
+    """The truncated inverse-DFT matmul (BAYHUNTER_RF_DFT, default
+    on — the Gauss-cutoff spectrum makes the irfft two tiny constant
+    matmuls that ride the MXU) must match jnp.fft.irfft to f32
+    rounding."""
+    from bayhunter_tpu.ops.rf import synrf_batch
+
+    NL, C = 8, 8
+    rng = np.random.RandomState(0)
+    h = np.zeros((C, NL), np.float32)
+    h[:, :3] = [5., 23., 8.]
+    vs = np.full((C, NL), 4.4, np.float32)
+    vs[:, :4] = [2.7, 3.6, 3.8, 4.4]
+    vs += rng.uniform(-0.05, 0.05, (C, NL)).astype(np.float32)
+    vp = (vs * 1.73).astype(np.float32)
+    rho = (0.32 * vp + 0.77).astype(np.float32)
+    qp = jnp.full((C, NL), 500., jnp.float32)
+    qs = jnp.full((C, NL), 225., jnp.float32)
+    poisson = (2 - 1.73 ** 2) / (2 - 2 * 1.73 ** 2)
+    args = (jnp.asarray(h), jnp.asarray(vp), jnp.asarray(vs),
+            jnp.asarray(rho), qp, qs, 6.4, 1.0, 512, 5.0, 5.0,
+            jnp.asarray(vs[:, 0]), jnp.full((C,), poisson,
+                                            jnp.float32))
+    monkeypatch.setenv('BAYHUNTER_RF_DFT', '0')
+    rf_fft = np.asarray(synrf_batch(*args, wave_type=P_WAVE,
+                                    interpret=True))
+    monkeypatch.setenv('BAYHUNTER_RF_DFT', '1')
+    rf_dft = np.asarray(synrf_batch(*args, wave_type=P_WAVE,
+                                    interpret=True))
+    np.testing.assert_allclose(rf_dft, rf_fft, atol=5e-7)
