@@ -52,7 +52,8 @@ from bayhunter_tpu.ops.pallas_secular import (C_TILE,
 LANES = 128
 
 
-def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, *refs):
+def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
+                 newton_maxshift, *refs):
     if iwave == 1:
         (top_ref, c0_ref, om_ref, cm_ref, bx_ref, d_ref, b_ref,
          rho_ref, c_out, f_out) = refs
@@ -114,6 +115,22 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, *refs):
                                             wvno < xka0, d0_l)
         return jnp.where(water, cosp_w * e1 - prop(rho_ref, 0)
                          * w_w * e2, e1)
+
+    # in-kernel Newton prepass (dimension-move warm starts): the
+    # XLA-level prepass pays two dispatched secular calls whose 42
+    # live lanes pad to 128; here the same recentering reuses this
+    # kernel's densely packed lanes for free.  Same math as the
+    # ops/swd.py prepass: value+slope from a DDC/16 finite
+    # difference, shift clipped to newton_maxshift per iteration.
+    eps_n = dc / 16.0
+    for _ in range(newton_iters):
+        v0 = secular(c0)
+        v1 = secular(c0 + eps_n)
+        slope = (v1 - v0) / eps_n
+        slope = jnp.where(slope == 0.0, 1.0, slope)
+        shift = -v0 / slope
+        shift = jnp.clip(shift, -newton_maxshift, newton_maxshift)
+        c0 = jnp.clip(c0 + shift, cm, bx)
 
     f0 = secular(c0)
     # Mosaic cannot round-trip i1 vectors through loop carries
@@ -189,13 +206,17 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, *refs):
         0, nbisect, bisect, (lo, hi, f_lo, f_hi))
 
     # closing secant polish on the bracket values (ops/swd.py
-    # _ksection_refine's final step)
+    # _ksection_refine's final step).  Out-of-bracket secant means an
+    # endpoint value is numerically zero — the endpoint IS the root
+    # (Newton-recentered warm starts land exactly there); return the
+    # smaller-|f| endpoint, NOT the midpoint (a width/2 systematic
+    # error for every converged start).
     denom = f_hi - f_lo
     denom = jnp.where(denom == 0.0, 1.0, denom)
     c = lo - f_lo * (hi - lo) / denom
-    mid = 0.5 * (lo + hi)
+    edge = jnp.where(jnp.abs(f_lo) <= jnp.abs(f_hi), lo, hi)
     good = (c > lo) & (c < hi) & jnp.isfinite(c)
-    c_out[0] = jnp.where(good, c, mid)
+    c_out[0] = jnp.where(good, c, edge)
     f_out[0] = foundf
 
 
@@ -227,12 +248,16 @@ def _pack_props(p, T, M, R, nl):
 
 def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                     iwave=2, ring_k=16, trips=2, nbisect=4,
+                    newton_iters=0, newton_maxshift=0.0,
                     interpret=False):
     """Warm root solve via the walking kernel.
 
     h/vp/vs/rho : (C, NL); omegas/c_prev (C, R); cm/betmx (C, 1).
     Returns (c, found) each (C, R): the refined root nearest c_prev
     and whether one was bracketed within trips*ring_k steps.
+    ``newton_iters`` > 0 runs that many in-kernel Newton recentering
+    passes on c_prev before the walk (the dimension-move prepass,
+    ops/swd.py), each shift clipped to ``newton_maxshift``.
     """
     C, R = omegas.shape
     nl = h.shape[-1]
@@ -287,7 +312,8 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
 
     c_pk, f_pk = pl.pallas_call(
         functools.partial(_walk_kernel, nl, iwave, max_steps,
-                          nbisect, float(ddc)),
+                          nbisect, float(ddc), int(newton_iters),
+                          float(newton_maxshift)),
         out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype),
                    jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)],
         grid=grid,

@@ -536,9 +536,15 @@ def _ksection_refine(omega, lo, secular, KR, niter, dtype):
     denom = f_hi - f_lo
     denom = jnp.where(denom == 0.0, 1.0, denom)
     c = lo - f_lo * (hi - lo) / denom
-    mid = 0.5 * (lo + hi)
+    # out-of-bracket fallback: with opposite-sign endpoint values the
+    # secant is mathematically interior, so falling outside means an
+    # endpoint value is (numerically) zero — i.e. an endpoint IS the
+    # root (the Newton-recentered dim warm starts land there).  The
+    # midpoint would re-introduce a width/2 systematic error; return
+    # the smaller-|f| endpoint instead.
+    edge = jnp.where(jnp.abs(f_lo) <= jnp.abs(f_hi), lo, hi)
     good = (c > lo) & (c < hi) & jnp.isfinite(c)
-    return jnp.where(good, c, mid)
+    return jnp.where(good, c, edge)
 
 
 # --------------------------------------------------------------------------
@@ -852,9 +858,22 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         # pays when the ring's second trip would otherwise run)
         pert_newton = (not anchor_warm) and os.environ.get(
             'BAYHUNTER_PERT_PREPASS', '') == 'newton'
+        use_walker = (os.environ.get('BAYHUNTER_WARM_SOLVER',
+                                     'walk') == 'walk'
+                      and dtype == jnp.float32
+                      and omegas.shape[1] <= 128)
+        # when the walker runs, it performs the Newton recentering
+        # IN-KERNEL (pallas_walk newton_iters) — the XLA-level
+        # prepass pays two dispatched secular calls whose live lanes
+        # pad 42 -> 128, while the walker's lanes are already packed
+        # densely.  BAYHUNTER_WALK_NEWTON=0 restores the XLA prepass
+        # for A/B.
+        walk_newton = use_walker and os.environ.get(
+            'BAYHUNTER_WALK_NEWTON', '1') == '1'
+        walk_newton_iters = 0
         if (anchor_warm and prepass == 'newton') or pert_newton:
-            # one-call Newton recentering: secular value AND slope at
-            # c_prev from the same kernel call (the per-layer
+            # Newton recentering: secular value AND slope at c_prev
+            # from the same kernel call (the per-layer
             # renormalization scale is arbitrary but IDENTICAL within
             # one call, so their ratio is scale-free).  Valid where
             # the secular function is locally smooth — the common
@@ -866,15 +885,35 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
             # at a higher dim cap-reject rate (9.8% vs 6.0% measured
             # mid-burn-in) — the same immaterial failure class the
             # nocap A/B bounds.
-            eps = jnp.asarray(DDC / 16.0, dtype)
-            pts = jnp.stack([cp, cp + eps], axis=-1)     # (C, R, 2)
-            vals = secular(omegas[..., None] / pts, omegas[..., None])
-            slope = (vals[..., 1] - vals[..., 0]) / eps
-            slope = jnp.where(slope == 0.0, 1.0, slope)
-            shift = -vals[..., 0] / slope
+            #
+            # ITERATED (BAYHUNTER_DIM_NEWTON_ITERS, dim moves only):
+            # measured on real birth/death proposals at reference
+            # shapes, a second iteration collapses the reachable
+            # lanes' residual start error to ~0 (birth p99 0.13 DDC,
+            # death p90 0.02 — vs 6.0 / 2.3 after one pass), leaving
+            # only lanes beyond the walk bound entirely (cap-rejects
+            # either way).  That lets the dim walk bound shrink
+            # without changing the reject class, which is where the
+            # dim solve's cost lives: every unfound lane forces its
+            # whole block to walk to the bound.
+            n_newton = max(1, int(os.environ.get(
+                'BAYHUNTER_DIM_NEWTON_ITERS', '2'))) \
+                if anchor_warm else 1
             maxshift = 3.0 * anchor_halfwidth * DDC
-            shift = jnp.clip(shift, -maxshift, maxshift)
-            cp = jnp.clip(cp + shift, cm, betmx)
+            if walk_newton:
+                walk_newton_iters = n_newton
+            else:
+                eps = jnp.asarray(DDC / 16.0, dtype)
+                for _ in range(n_newton):
+                    pts = jnp.stack([cp, cp + eps],
+                                    axis=-1)          # (C, R, 2)
+                    vals = secular(omegas[..., None] / pts,
+                                   omegas[..., None])
+                    slope = (vals[..., 1] - vals[..., 0]) / eps
+                    slope = jnp.where(slope == 0.0, 1.0, slope)
+                    shift = -vals[..., 0] / slope
+                    shift = jnp.clip(shift, -maxshift, maxshift)
+                    cp = jnp.clip(cp + shift, cm, betmx)
         elif anchor_warm:
             if ngroups != 1:
                 raise ValueError(
@@ -921,14 +960,15 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         # baseline) @10240, posterior revalidated at reference scale.
         # BAYHUNTER_WARM_SOLVER=staged restores the ring pipeline
         # (also the automatic fallback for f64 and >128-lane solves).
-        if (os.environ.get('BAYHUNTER_WARM_SOLVER', 'walk') == 'walk'
-                and dtype == jnp.float32
-                and omegas.shape[1] <= 128):
+        if use_walker:
             from bayhunter_tpu.ops.pallas_walk import warm_roots_walk
             c, found = warm_roots_walk(
                 d, a, b, rho_w, omegas, cp, cm, betmx, float(DDC),
                 iwave=iwave, ring_k=warm_halfwidth, trips=trips,
-                nbisect=4 * nrefine, interpret=interpret)
+                nbisect=4 * nrefine,
+                newton_iters=walk_newton_iters,
+                newton_maxshift=3.0 * anchor_halfwidth * DDC,
+                interpret=interpret)
         else:
             lo, found = _ring_brackets_b(omegas, cp, cm, betmx,
                                          secular, warm_halfwidth,

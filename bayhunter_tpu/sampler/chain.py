@@ -400,15 +400,25 @@ def build_sampler(eval_fn, cfg, mesh=None):
     def _ring_width_for(move_id):
         # ring width per (static) move id, sized to the measured
         # root-shift distributions under adapted proposal widths:
-        # birth/death jump far (anchor-recentered resid p90 ~10
-        # steps), vs moves reach p99.9 ~11 steps / max ~26, while
-        # z and vp/vs moves shift < 1 step at p99.9 — their solves
-        # run a cheaper narrow ring.  Env overrides exist for
-        # same-session A/B of the (width x trips) tradeoff at fixed
-        # coverage (see evaluator warm_trips_cap).
+        # vs moves reach p99.9 ~11 steps / max ~26, while z and vp/vs
+        # moves shift < 1 step at p99.9 — their solves run a cheaper
+        # narrow ring.  Birth/death get a NARROW ring (walk bound
+        # ring*cap = 12) because the iterated Newton prepass
+        # (ops/swd.py BAYHUNTER_DIM_NEWTON_ITERS=2) recenters every
+        # reachable lane to <0.2 DDC of its root — measured on real
+        # dim proposals at reference shapes the unfound-lane rate is
+        # bound-INSENSITIVE from 48 down to 12 (death 16.4% -> 17.0%
+        # of chains, birth ~3%: far lanes are far beyond any bound)
+        # while the solve drops 2.9 -> 1.5 ms @512 — every unfound
+        # lane forces its whole block to walk to the bound, so the
+        # bound IS the dim-solve cost.  (With the anchor prepass,
+        # BAYHUNTER_DIM_PREPASS=anchor, restore BAYHUNTER_DIM_RING=24
+        # — anchor residuals reach p90 ~10 steps.)  Env overrides
+        # exist for same-session A/B of the (width x trips) tradeoff
+        # at fixed coverage (see evaluator warm_trips_cap).
         if isinstance(move_id, int):
             if move_id in (MOVE_BIRTH, MOVE_DEATH):
-                return int(os.environ.get('BAYHUNTER_DIM_RING', '24'))
+                return int(os.environ.get('BAYHUNTER_DIM_RING', '6'))
             if move_id in (MOVE_Z, MOVE_VPVS):
                 return int(os.environ.get('BAYHUNTER_NARROW_RING',
                                           '8'))

@@ -662,3 +662,77 @@ def test_walker_matches_staged_warm_solve(iwave, igr, monkeypatch):
     _assert_roots_close(np.asarray(cg_s)[ok], np.asarray(cg_w)[ok],
                         p90=1e-4 if igr else 2e-5,
                         amax=2e-3 if igr else 5e-4)
+
+
+def test_walker_in_kernel_newton_matches_xla_prepass(monkeypatch):
+    """BAYHUNTER_WALK_NEWTON (default on): the walker's in-kernel
+    Newton recentering must agree with the XLA-level prepass (same
+    math, same clip; the in-kernel form only avoids two dispatched
+    secular calls whose live lanes pad 42 -> 128)."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+    rs = np.random.RandomState(23)
+    NL, C = 9, 6
+    per = jnp.asarray(np.linspace(2, 35, 9), jnp.float32)
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 5)
+        z = np.sort(rs.uniform(2, 50, nlay))
+        v = np.sort(rs.uniform(2.3, 4.5, nlay))
+        H[i, :nlay - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :nlay] = v
+    args = [jnp.asarray(x) for x in
+            (H, VS * 1.73, VS, VS * 1.73 * 0.32 + 0.77)]
+
+    _, err0, roots = surfdisp_roots_batch(*args, per, interpret=True)
+    assert not np.any(np.asarray(err0))
+    rp = roots + 0.023   # ~4.6 DDC, off-grid
+
+    kw = dict(c_prev=rp, anchor_warm=True, warm_trips_cap=2,
+              interpret=True)
+    monkeypatch.setenv('BAYHUNTER_WALK_NEWTON', '0')
+    w_xla, err_x, _ = surfdisp_roots_batch(*args, per, **kw)
+    monkeypatch.setenv('BAYHUNTER_WALK_NEWTON', '1')
+    w_ker, err_k, _ = surfdisp_roots_batch(*args, per, **kw)
+    np.testing.assert_array_equal(np.asarray(err_x),
+                                  np.asarray(err_k))
+    assert not np.any(np.asarray(err_k))
+    _assert_roots_close(w_ker, w_xla)
+
+
+def test_converged_warm_start_returns_root():
+    """A warm start sitting exactly ON the root (what the iterated
+    Newton prepass produces) must come back unmoved — the closing
+    secant's out-of-bracket fallback must return the zero-value
+    endpoint, not the bracket midpoint (a DDC/32 systematic shift,
+    regression: session-6 parity failure)."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+    rs = np.random.RandomState(31)
+    NL, C = 9, 6
+    per = jnp.asarray(np.linspace(2, 35, 9), jnp.float32)
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 5)
+        z = np.sort(rs.uniform(2, 50, nlay))
+        v = np.sort(rs.uniform(2.3, 4.5, nlay))
+        H[i, :nlay - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :nlay] = v
+    args = [jnp.asarray(x) for x in
+            (H, VS * 1.73, VS, VS * 1.73 * 0.32 + 0.77)]
+
+    cg0, err0, roots = surfdisp_roots_batch(*args, per,
+                                            interpret=True)
+    assert not np.any(np.asarray(err0))
+    # dim-move (newton prepass) warm solve FROM the exact roots
+    cg_w, err_w, _ = surfdisp_roots_batch(
+        *args, per, c_prev=roots, anchor_warm=True, warm_trips_cap=2,
+        interpret=True)
+    assert not np.any(np.asarray(err_w))
+    d = np.abs(np.asarray(cg_w) - np.asarray(cg0))
+    assert np.percentile(d, 90) < 2e-6, np.percentile(d, 90)
+    assert d.max() < 5e-5, d.max()
