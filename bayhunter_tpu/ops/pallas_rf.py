@@ -235,14 +235,17 @@ def _displacement(p, vp, vs):
 # ----------------------------------------------------------------------
 
 def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
-                 *refs):
+                 coeff_xla, *refs):
     if dynamic:
-        (top_ref, h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref,
-         p_ref, czr_ref, czi_ref, crr_ref, cri_ref) = refs
+        top_ref, *refs = refs
     else:
-        (h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
-         czr_ref, czi_ref, crr_ref, cri_ref) = refs
         top_ref = None
+    if coeff_xla:
+        coef_ref, *refs = refs
+    else:
+        coef_ref = None
+    (h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
+     czr_ref, czi_ref, crr_ref, cri_ref) = refs
     F = czr_ref.shape[-1]
     p = p_ref[:, 0:1]                                   # (8, 1)
 
@@ -267,16 +270,34 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     hmat = _displacement(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
 
     def layer_parts(i):
-        """Interface coefficients and phase terms of layer i."""
+        """Interface coefficients and phase terms of layer i.
+
+        The coefficients are frequency-INDEPENDENT per-chain scalars:
+        computing them in-kernel costs ~600 (C_TILE, 1)-shaped VPU
+        ops per layer — each wasting 127/128 lanes — which an
+        ablation measured as ~98% of this kernel's per-call compute
+        (slope 0.261 -> 0.005 ms/call at 512 chains with them
+        replaced by constants).  They are therefore precomputed in
+        XLA (vectorized over chains x layers, `interface_coeffs_xla`)
+        and read here as packed per-layer loads; the in-kernel
+        fallback remains for A/B (BAYHUNTER_RF_COEFF_XLA=0)."""
         vp_l = vp_ref[:, i:i + 1]
         vs_l = vs_ref[:, i:i + 1]
         h_l = h_ref[:, i:i + 1]
         qp_l = qp_ref[:, i:i + 1]
         qs_l = qs_ref[:, i:i + 1]
-        coeffs = _interface_coeffs(
-            p, vp_l, vs_l, rho_ref[:, i:i + 1],
-            vp_ref[:, i + 1:i + 2], vs_ref[:, i + 1:i + 2],
-            rho_ref[:, i + 1:i + 2])
+        if coef_ref is not None:
+            def cf(m, e, c):
+                k = i * 32 + m * 8 + e * 2 + c
+                return coef_ref[:, k:k + 1]
+            coeffs = tuple(
+                tuple((cf(m, e, 0), cf(m, e, 1)) for e in range(4))
+                for m in range(4))
+        else:
+            coeffs = _interface_coeffs(
+                p, vp_l, vs_l, rho_ref[:, i:i + 1],
+                vp_ref[:, i + 1:i + 2], vs_ref[:, i + 1:i + 2],
+                rho_ref[:, i + 1:i + 2])
 
         # anelastic phase terms e1/e2 = exp(-i w h q_{p,s})
         def phase(v, qf):
@@ -358,6 +379,32 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     cri_ref[:] = cr[1]
 
 
+def interface_coeffs_xla(p, vp, vs, rho):
+    """All welded-interface R/T coefficient tables of a layer stack,
+    vectorized over (C, NL-1) in XLA.
+
+    Returns (C, (NL-1)*32) float32: per layer i the 4 matrices
+    (rd, td, ru, tu) x 4 entries x (re, im), laid out so the kernel
+    reads entry (i, m, e, c) at lane i*32 + m*8 + e*2 + c.  The
+    coefficients are frequency-independent, so hoisting them out of
+    the frequency-lane kernel turns ~600 (8, 1)-shaped VPU ops per
+    layer into one dense (C, NL-1)-vectorized computation plus VMEM
+    loads (measured: they were ~98% of the kernel's per-call
+    compute)."""
+    C, nl = vp.shape
+    mats = _interface_coeffs(
+        p[:, None], vp[:, :-1], vs[:, :-1], rho[:, :-1],
+        vp[:, 1:], vs[:, 1:], rho[:, 1:])      # 4 x 4 x (re, im)
+    comps = []
+    for mat in mats:
+        for entry in mat:
+            comps.append(jnp.broadcast_to(entry[0], (C, nl - 1)))
+            comps.append(jnp.broadcast_to(entry[1], (C, nl - 1)))
+    # (C, NL-1, 32) -> (C, (NL-1)*32) with layer-major lanes
+    packed = jnp.stack(comps, axis=-1).astype(jnp.float32)
+    return packed.reshape(C, (nl - 1) * 32)
+
+
 def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                                  fsamp, wave_type=0, fref=1.0,
                                  nfreq_out=None, interpret=False):
@@ -394,6 +441,14 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                             memory_space=pltpu.VMEM)
 
     in_specs = [spec(nl)] * 6 + [spec(1)]
+
+    coeff_xla = os.environ.get('BAYHUNTER_RF_COEFF_XLA', '1') == '1'
+    if coeff_xla:
+        coefs = interface_coeffs_xla(args[6][:, 0], args[1], args[2],
+                                     args[3])
+        args.insert(0, coefs)
+        in_specs.insert(0, spec((nl - 1) * 32))
+
     if DYNAMIC_NL:
         # deepest layer whose update can change the response: nonzero
         # thickness, or ANY property contrast across its lower
@@ -401,7 +456,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         # still reflects).  The masked padding replicates the
         # halfspace with h=0 (ops/voronoi.py), so padded slots are
         # never "real"; per-tile max governs the kernel's branch.
-        hh, vpp, vss, rr, qpp, qss = args[:6]
+        hh, vpp, vss, rr, qpp, qss = args[-7:-1]
         real = ((hh[:, :-1] > 0.0)
                 | (vpp[:, :-1] != vpp[:, 1:])
                 | (vss[:, :-1] != vss[:, 1:])
@@ -418,7 +473,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
-                          DYNAMIC_NL),
+                          DYNAMIC_NL, coeff_xla),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,

@@ -320,6 +320,43 @@ def test_rf_batch_pallas_matches_vmap_interpret():
                                    atol=5e-5)
 
 
+def test_rf_coeff_hoist_matches_in_kernel(monkeypatch):
+    """The XLA-precomputed interface-coefficient path (default) must
+    match the in-kernel coefficient computation it replaced.  The
+    coefficients are frequency-independent per-(chain, layer) scalars;
+    hoisting them out of the frequency-lane kernel removed ~98% of
+    the kernel's per-call compute, and this pins the two paths to
+    near-bit agreement (same formulas, different vector shapes)."""
+    from bayhunter_tpu.ops.rf import synrf_batch
+    rs = np.random.RandomState(11)
+    NL, C = 9, 5
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, NL)
+        H[i, :nlay - 1] = rs.uniform(2, 15, nlay - 1)
+        vv = np.sort(rs.uniform(2.4, 4.6, nlay))
+        VS[i] = vv[-1]
+        VS[i, :nlay] = vv
+    VP = VS * 1.74
+    RHO = VP * 0.32 + 0.77
+    QP = np.full((C, NL), 500., np.float32)
+    QS = np.full((C, NL), 225., np.float32)
+
+    def run():
+        return np.asarray(synrf_batch(
+            jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+            jnp.asarray(RHO), jnp.asarray(QP), jnp.asarray(QS),
+            6.4, 1.0, 256, 5.0, 5.0, VS[:, 0],
+            np.full(C, 0.25, np.float32), interpret=True))
+
+    monkeypatch.setenv('BAYHUNTER_RF_COEFF_XLA', '1')
+    rf_hoist = run()
+    monkeypatch.setenv('BAYHUNTER_RF_COEFF_XLA', '0')
+    rf_kernel = run()
+    np.testing.assert_allclose(rf_hoist, rf_kernel, atol=2e-6)
+
+
 def test_rf_batch_dynamic_skip_multi_tile():
     """Regression: the RF kernel's dynamic layer skip must read ITS
     OWN tile's top-layer index (top_ref[program_id], not tile 0's).
