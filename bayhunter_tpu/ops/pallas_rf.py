@@ -20,14 +20,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Dynamic layer-count skip — see the rationale note in
-# ops/pallas_secular.py.  Unlike the secular kernel, the RF kernel's
-# per-layer work (complex 2x2 reflectivity algebra over the whole
-# frequency axis) dwarfs the scf.if carry overhead: measured 17%
-# faster on a real v5e chip (0.786 vs 0.952 ms/call at 512 chains,
-# nsamp=512), bit-equal responses to ~2e-6.  Defaults ON here.
-DYNAMIC_NL = os.environ.get(
+# ops/pallas_secular.py.  Three modes, mirroring the secular kernel:
+#   None      full unrolled layer loop
+#   'branch'  per-layer lax.cond on the tile's deepest active layer
+#   'loop'    ONE dynamic-trip fori_loop 1..top; per-layer properties
+#             and XLA-precomputed interface coefficients ride a
+#             layer-major (1, NL, 8, 40) VMEM block so the loop can
+#             index the MAJOR dim (Mosaic rejects dynamic lane-dim
+#             vector loads, pallas_secular._dyn_col).
+# Measured on a real v5e at 10240 chains (scripts/bench_rf_parts.py,
+# ~7 active of 21 layers): full loop 5.11 ms/call, branch 4.26,
+# loop 6.57.  UNLIKE the secular kernel (where loop won 2x), the RF
+# recursion's fori carry is 40 (8, 128) vregs — the per-iteration
+# carry spill dwarfs the skipped-layer work, while the secular carry
+# is 5 vregs.  'branch' is therefore the production default here;
+# 'loop' is kept as a measured A/B arm.
+_DYN_ENV = os.environ.get(
     'BAYHUNTER_DYNAMIC_NL_RF',
-    os.environ.get('BAYHUNTER_DYNAMIC_NL', '1')) == '1'
+    os.environ.get('BAYHUNTER_DYNAMIC_NL', 'branch'))
+DYNAMIC_NL = {'0': None, '1': 'branch', 'branch': 'branch',
+              'loop': 'loop'}.get(_DYN_ENV)
 
 C_TILE = 8
 
@@ -240,7 +252,11 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         top_ref, *refs = refs
     else:
         top_ref = None
-    if coeff_xla:
+    props_ref = None
+    if dynamic == 'loop':
+        props_ref, *refs = refs
+        coef_ref = None
+    elif coeff_xla:
         coef_ref, *refs = refs
     else:
         coef_ref = None
@@ -269,6 +285,16 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
 
     hmat = _displacement(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
 
+    def _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l):
+        """Anelastic phase terms e1/e2 = exp(-i w h q_{p,s})."""
+        def phase(v, qf):
+            vc = (v * (1.0 + lgw / (jnp.pi * qf)), v * (0.5 / qf))
+            iv2 = _cinv(_cmul(vc, vc))
+            qc = _csqrt((iv2[0] - p * p, iv2[1]))
+            arg = (w * h_l * qc[1], -w * h_l * qc[0])   # -i w h qc
+            return _cexp(arg)
+        return phase(vp_l, qp_l), phase(vs_l, qs_l)
+
     def layer_parts(i):
         """Interface coefficients and phase terms of layer i.
 
@@ -280,7 +306,28 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         replaced by constants).  They are therefore precomputed in
         XLA (vectorized over chains x layers, `interface_coeffs_xla`)
         and read here as packed per-layer loads; the in-kernel
-        fallback remains for A/B (BAYHUNTER_RF_COEFF_XLA=0)."""
+        fallback remains for A/B (BAYHUNTER_RF_COEFF_XLA=0).
+
+        In 'loop' mode ``i`` may be a TRACED scalar: every per-layer
+        quantity is loaded from the layer-major props block (dynamic
+        MAJOR-dim indexing), lanes [h, vp, vs, qp, qs, pad x3,
+        32 coeff components]."""
+        if props_ref is not None:
+            row = props_ref[0, i]                       # (8, 40)
+            h_l = row[:, 0:1]
+            vp_l = row[:, 1:2]
+            vs_l = row[:, 2:3]
+            qp_l = row[:, 3:4]
+            qs_l = row[:, 4:5]
+
+            def cf(m, e, c):
+                k = 8 + m * 8 + e * 2 + c
+                return row[:, k:k + 1]
+            coeffs = tuple(
+                tuple((cf(m, e, 0), cf(m, e, 1)) for e in range(4))
+                for m in range(4))
+            e1, e2 = _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l)
+            return coeffs, e1, e2
         vp_l = vp_ref[:, i:i + 1]
         vs_l = vs_ref[:, i:i + 1]
         h_l = h_ref[:, i:i + 1]
@@ -298,24 +345,22 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
                 p, vp_l, vs_l, rho_ref[:, i:i + 1],
                 vp_ref[:, i + 1:i + 2], vs_ref[:, i + 1:i + 2],
                 rho_ref[:, i + 1:i + 2])
-
-        # anelastic phase terms e1/e2 = exp(-i w h q_{p,s})
-        def phase(v, qf):
-            vc = (v * (1.0 + lgw / (jnp.pi * qf)), v * (0.5 / qf))
-            iv2 = _cinv(_cmul(vc, vc))
-            qc = _csqrt((iv2[0] - p * p, iv2[1]))
-            arg = (w * h_l * qc[1], -w * h_l * qc[0])   # -i w h qc
-            return _cexp(arg)
-
-        return coeffs, phase(vp_l, qp_l), phase(vs_l, qs_l)
+        e1, e2 = _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l)
+        return coeffs, e1, e2
 
     def layer_step(i, carry):
-        """Layers 1..nl-2: advance (nb, q, g, ru, td_prev)."""
-        nb, q, g, ru, td_prev = carry
+        """Layers 1..nl-2: advance (x = nb q, g, ru, td_prev).
+
+        ``nb`` and ``q`` are only ever consumed via their product, so
+        the recursion carries x = nb q instead — same multiply count
+        (one m4mul moves from nt to x), but the lax.cond / fori carry
+        shrinks from 24 to 16 (8, F) arrays, which is where the
+        dynamic-skip overhead lives (see the mode note at the top)."""
+        x, g, ru, td_prev = carry
         (rd_next, td_i, ru_next, tu_next), e1, e2 = layer_parts(i)
 
-        # nt = ru + td_i-1 nb q
-        t = _m4mul(_m4mul(td_prev, nb), q)
+        # nt = ru + td_i-1 (nb q)
+        t = _m4mul(td_prev, x)
         nt = tuple(_cadd(a, b) for a, b in zip(ru, t))
 
         # nb = e nt e (diagonal phase sandwich)
@@ -332,7 +377,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         # g = g (e q)
         eq = (_cmul(e1, q[0]), _cmul(e1, q[1]),
               _cmul(e2, q[2]), _cmul(e2, q[3]))
-        return nb, q, _m4mul(g, eq), ru_next, td_i
+        return _m4mul(nb, q), _m4mul(g, eq), ru_next, td_i
 
     # layer 0 (free surface on top) always runs: n >= 2 guarantees a
     # real surface layer
@@ -347,20 +392,38 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     q = _m4mul(_m4inv_of_eye_minus(K), tu_next)
     g = (_cmul(e1, q[0]), _cmul(e1, q[1]),
          _cmul(e2, q[2]), _cmul(e2, q[3]))
-    carry = (nb, q, g, ru_next, td_i)
+    carry = (_m4mul(nb, q), g, ru_next, td_i)
 
     # deeper layers: skippable per tile once inside the padding region
     # (identical media, zero thickness -> rd=0, tu=I, e=1: g invariant)
     if top_ref is None:
         for i in range(1, nl - 1):
             carry = layer_step(i, carry)
+    elif dynamic == 'loop':
+        top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+        carry = jax.lax.fori_loop(1, top + 1, layer_step, carry)
     else:
+        # 'branch': one lax.cond per BLOCK of layers, not per layer —
+        # the cond's carry save/restore costs about half a layer's
+        # compute (measured: full 20-layer loop 5.11 ms vs 4.26 for
+        # per-layer conds over ~7 active layers at 10240 chains), so
+        # per-layer predication loses most of the skip.  Padded-slot
+        # updates are EXACT identities for this kernel (rd=0, tu=I,
+        # e=1 — see the skip-invariance note in ops/rf.py), so a
+        # block may over-execute up to block-1 identity layers: the
+        # block runs iff its FIRST layer is active.
+        blk = max(1, int(os.environ.get('BAYHUNTER_RF_BLOCK', '4')))
         top = top_ref[pl.program_id(0), 0]
-        for i in range(1, nl - 1):
-            carry = jax.lax.cond(i <= top,
-                                 functools.partial(layer_step, i),
+        for b in range(1, nl - 1, blk):
+            hi = min(b + blk, nl - 1)
+
+            def run_block(c, b=b, hi=hi):
+                for i in range(b, hi):
+                    c = layer_step(i, c)
+                return c
+            carry = jax.lax.cond(b <= top, run_block,
                                  lambda c: c, carry)
-    g = carry[2]
+    g = carry[1]
 
     # t = 2 h g ; pick the column of the incident wave
     t_full = _m4mul(hmat, g)
@@ -442,14 +505,36 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
 
     in_specs = [spec(nl)] * 6 + [spec(1)]
 
+    dyn = 'branch' if DYNAMIC_NL is True else DYNAMIC_NL
     coeff_xla = os.environ.get('BAYHUNTER_RF_COEFF_XLA', '1') == '1'
-    if coeff_xla:
+    if dyn == 'loop' and not coeff_xla:
+        dyn = 'branch'   # the loop path reads XLA-packed coefficients
+    if dyn == 'loop':
+        # layer-major props block: lanes [h, vp, vs, qp, qs, pad x3,
+        # 32 interface-coefficient components], rows = layers, so the
+        # in-kernel dynamic-trip loop indexes the MAJOR dim only
+        coefs = interface_coeffs_xla(args[6][:, 0], args[1], args[2],
+                                     args[3])                # (Cp, (nl-1)*32)
+        cf = jnp.concatenate(
+            [coefs.reshape(Cp, nl - 1, 32),
+             jnp.zeros((Cp, 1, 32), jnp.float32)], axis=1)  # (Cp, nl, 32)
+        base = jnp.stack(args[:3] + args[4:6], axis=-1)     # h vp vs qp qs
+        props = jnp.concatenate(
+            [base, jnp.zeros((Cp, nl, 3), jnp.float32), cf],
+            axis=-1)                                        # (Cp, nl, 40)
+        props = props.reshape(Cp // C_TILE, C_TILE, nl,
+                              40).transpose(0, 2, 1, 3)
+        args.insert(0, props)
+        in_specs.insert(0, pl.BlockSpec(
+            (1, nl, C_TILE, 40), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    elif coeff_xla:
         coefs = interface_coeffs_xla(args[6][:, 0], args[1], args[2],
                                      args[3])
         args.insert(0, coefs)
         in_specs.insert(0, spec((nl - 1) * 32))
 
-    if DYNAMIC_NL:
+    if dyn:
         # deepest layer whose update can change the response: nonzero
         # thickness, or ANY property contrast across its lower
         # interface (a zero-thickness layer between distinct media
@@ -473,7 +558,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
-                          DYNAMIC_NL, coeff_xla),
+                          dyn, coeff_xla),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,

@@ -357,14 +357,17 @@ def test_rf_coeff_hoist_matches_in_kernel(monkeypatch):
     np.testing.assert_allclose(rf_hoist, rf_kernel, atol=2e-6)
 
 
-def test_rf_batch_dynamic_skip_multi_tile():
+@pytest.mark.parametrize('mode', ['branch', 'loop'])
+def test_rf_batch_dynamic_skip_multi_tile(mode):
     """Regression: the RF kernel's dynamic layer skip must read ITS
     OWN tile's top-layer index (top_ref[program_id], not tile 0's).
     Tile 0 holds shallow 2-layer models and tile 1 deep near-full-
     width models — with the bug, tile 1's recursion truncates at tile
     0's depth and its RFs are grossly wrong (this is exactly the
     resorted production layout, which sorts shallow models first; it
-    broke posterior validation on the real chip before the fix)."""
+    broke posterior validation on the real chip before the fix).
+    Covers both skip implementations: per-layer lax.cond ('branch')
+    and the dynamic-trip fori_loop over layer-major props ('loop')."""
     import jax
     from bayhunter_tpu.ops.rf import synrf, synrf_batch
     rs = np.random.RandomState(7)
@@ -384,7 +387,7 @@ def test_rf_batch_dynamic_skip_multi_tile():
 
     from bayhunter_tpu.ops import pallas_rf
     saved = pallas_rf.DYNAMIC_NL
-    pallas_rf.DYNAMIC_NL = True
+    pallas_rf.DYNAMIC_NL = mode
     try:
         rf_b = synrf_batch(
             jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
