@@ -32,8 +32,14 @@ def sort_by_depth(vs, z, n):
     nl = z.shape[-1]
     idx = jnp.arange(nl)
     zkey = jnp.where(idx < n, z, BIG_Z + idx)
-    order = jnp.argsort(zkey)
-    return jnp.take(vs, order), jnp.take(z, order)
+    # variadic lax.sort carries (vs, z) as sort operands instead of
+    # argsort + per-row gathers: on TPU the batched 21-wide gather
+    # lowers to a GatherScatterIndicesBitpacked custom call costing
+    # 4.7 ms at 10240 chains vs 0.05 ms for the operand sort
+    # (bit-identical output; stable sort matches argsort tie order).
+    _, vs_s, z_s = jax.lax.sort((zkey, vs, z), num_keys=1,
+                                is_stable=True)
+    return vs_s, z_s
 
 
 def get_vp(vs, vpvs, n, mantle=None):
@@ -80,10 +86,15 @@ def voronoi_to_layers(vs, z, n, vpvs, mantle=None):
 
     vp = get_vp(vs, vpvs, n, mantle)
 
-    # replicate halfspace properties into padded slots
+    # replicate halfspace properties into padded slots.  One-hot
+    # reductions instead of jnp.take: under vmap a per-chain dynamic
+    # index lowers to a TPU gather custom call with a fixed multi-ms
+    # cost at 10k chains, while the masked sum fuses into the
+    # surrounding elementwise ops (exactly one index matches).
     hs = jnp.clip(n - 1, 0, nl - 1)
-    vs_hs = jnp.take(vs, hs)
-    vp_hs = jnp.take(vp, hs)
+    hs_hot = idx == hs
+    vs_hs = jnp.sum(jnp.where(hs_hot, vs, 0.0))
+    vp_hs = jnp.sum(jnp.where(hs_hot, vp, 0.0))
     finite = idx < n - 1
     vs_l = jnp.where(finite, vs, vs_hs)
     vp_l = jnp.where(finite, vp, vp_hs)

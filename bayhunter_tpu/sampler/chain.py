@@ -308,19 +308,34 @@ def build_sampler(eval_fn, cfg, mesh=None):
     # move branches — all return (vs, z, n, noise, vpvs, dvs2)
     # ------------------------------------------------------------------
 
+    # NOTE on indexing style: every per-chain dynamic index
+    # (``x.at[ind].add``, ``x[ind]``, ``x[perm]``) lowers under vmap
+    # to a TPU gather/scatter custom call with a fixed multi-ms cost
+    # at 10k chains (measured 4.7 ms for two 21-wide gathers), while
+    # the equivalent one-hot select / static-shift formulations fuse
+    # into the surrounding elementwise ops for free.  All move
+    # branches therefore use masks, never dynamic indices.
+
+    def _pick1(x, ind):
+        """x[ind] as a one-hot reduction (exactly one index matches)."""
+        return jnp.sum(jnp.where(jnp.arange(x.shape[-1]) == ind, x,
+                                 jnp.zeros((), x.dtype)))
+
     def move_vs(state, k1, k2):
         """Gaussian Vs perturbation of one nucleus
         (src/SingleChain.py:287-292)."""
         ind = random.randint(k1, (), 0, state.n)
         delta = random.normal(k2, dtype=dtype) * state.propdist[0]
-        return (state.vs.at[ind].add(delta), state.z, state.n,
+        vs = state.vs + jnp.where(idx_nl == ind, delta, zero)
+        return (vs, state.z, state.n,
                 state.noise, state.vpvs, zero)
 
     def move_z(state, k1, k2):
         """Gaussian nucleus-depth move (src/SingleChain.py:294-299)."""
         ind = random.randint(k1, (), 0, state.n)
         delta = random.normal(k2, dtype=dtype) * state.propdist[1]
-        return (state.vs, state.z.at[ind].add(delta), state.n,
+        z = state.z + jnp.where(idx_nl == ind, delta, zero)
+        return (state.vs, z, state.n,
                 state.noise, state.vpvs, zero)
 
     def move_birth(state, k1, k2):
@@ -329,13 +344,13 @@ def build_sampler(eval_fn, cfg, mesh=None):
         z_birth = random.uniform(k1, (), dtype, zmin, zmax)
         dist = jnp.where(idx_nl < state.n,
                          jnp.abs(state.z - z_birth), jnp.inf)
-        ind = jnp.argmin(dist)
-        vs_before = state.vs[ind]
+        vs_before = _pick1(state.vs, jnp.argmin(dist))
         vs_birth = vs_before \
             + random.normal(k2, dtype=dtype) * state.propdist[2]
         slot = jnp.minimum(state.n, nl - 1)
-        vs = state.vs.at[slot].set(vs_birth)
-        z = state.z.at[slot].set(z_birth)
+        at_slot = idx_nl == slot
+        vs = jnp.where(at_slot, vs_birth, state.vs)
+        z = jnp.where(at_slot, z_birth, state.z)
         dvs2 = jnp.square(vs_birth - vs_before)
         return vs, z, state.n + 1, state.noise, state.vpvs, dvs2
 
@@ -343,14 +358,18 @@ def build_sampler(eval_fn, cfg, mesh=None):
         """Layer death: remove a random nucleus; dvs2 from the nearest
         surviving nucleus (src/SingleChain.py:269-285)."""
         ind = random.randint(k1, (), 0, state.n)
-        z_before = state.z[ind]
-        vs_before = state.vs[ind]
-        src = jnp.clip(idx_nl + (idx_nl >= ind), 0, nl - 1)
-        vs = state.vs[src]
-        z = state.z[src]
+        z_before = _pick1(state.z, ind)
+        vs_before = _pick1(state.vs, ind)
+        # delete-at-ind == keep below ind, shift-left at/above it
+        # (the last slot repeats itself, matching clip(idx+1, nl-1))
+        vs_shift = jnp.concatenate([state.vs[1:], state.vs[-1:]])
+        z_shift = jnp.concatenate([state.z[1:], state.z[-1:]])
+        above = idx_nl >= ind
+        vs = jnp.where(above, vs_shift, state.vs)
+        z = jnp.where(above, z_shift, state.z)
         n_new = state.n - 1
         dist = jnp.where(idx_nl < n_new, jnp.abs(z - z_before), jnp.inf)
-        vs_after = vs[jnp.argmin(dist)]
+        vs_after = _pick1(vs, jnp.argmin(dist))
         dvs2 = jnp.square(vs_after - vs_before)
         return vs, z, n_new, state.noise, state.vpvs, dvs2
 
@@ -358,10 +377,12 @@ def build_sampler(eval_fn, cfg, mesh=None):
         """Perturb one non-fixed noise hyperparameter
         (src/SingleChain.py:394-400)."""
         pick = random.randint(k1, (), 0, len(noiseinds))
-        ind = noiseinds_j[pick]
+        ind = _pick1(noiseinds_j, pick)
         delta = random.normal(k2, dtype=dtype) * state.propdist[3]
+        noise = state.noise + jnp.where(
+            jnp.arange(n_noise) == ind, delta, zero)
         return (state.vs, state.z, state.n,
-                state.noise.at[ind].add(delta), state.vpvs, zero)
+                noise, state.vpvs, zero)
 
     def move_vpvs(state, k1, k2):
         """Perturb vp/vs (src/SingleChain.py:409-413)."""
