@@ -793,15 +793,25 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
     else:
         d, a, b, rho_w = h, vp, vs, rho
 
-    # per-chain lower bound cm and maximum velocity (C, 1)
+    # per-chain lower bound cm and maximum velocity (C, 1).  One-hot
+    # reductions instead of take_along_axis: per-row dynamic gathers
+    # lower to a TPU gather custom call with a fixed multi-ms cost at
+    # 10k chains, while the masked sums fuse into elementwise ops.
     solid = b > 0.01
     cand = jnp.where(solid, b, a)
     jmn = jnp.argmin(cand, axis=-1, keepdims=True)
-    betmn = jnp.take_along_axis(cand, jmn, axis=-1)
-    jsol = jnp.take_along_axis(solid, jmn, axis=-1)
+    at_mn = jnp.arange(cand.shape[-1])[None, :] == jmn
+    zero = jnp.zeros((), cand.dtype)
+
+    def _pick(x):
+        return jnp.sum(jnp.where(at_mn, x, zero), axis=-1,
+                       keepdims=True)
+
+    betmn = _pick(cand)
+    jsol = jnp.any(at_mn & solid, axis=-1, keepdims=True)
     betmx = jnp.max(b, axis=-1, keepdims=True)
-    a_mn = jnp.take_along_axis(a, jmn, axis=-1)
-    b_mn = jnp.take_along_axis(b, jmn, axis=-1)
+    a_mn = _pick(a)
+    b_mn = _pick(b)
     cc1 = jnp.where(jsol, gtsolh(a_mn, b_mn), betmn)
     cm = (0.95 * 0.90 * cc1).astype(dtype)            # (C, 1)
 
