@@ -673,7 +673,8 @@ def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
                                  anchor_warm=False,
                                  anchor_halfwidth=64,
                                  warm_trips_cap=None,
-                                 anchor_trips_cap=3, interpret=False):
+                                 anchor_trips_cap=3,
+                                 pert_newton=False, interpret=False):
     """Solve SEVERAL same-wave-type dispersion targets of one model
     batch in shared kernel calls.
 
@@ -707,6 +708,7 @@ def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
                              anchor_halfwidth=anchor_halfwidth,
                              warm_trips_cap=warm_trips_cap,
                              anchor_trips_cap=anchor_trips_cap,
+                             pert_newton=pert_newton,
                              interpret=interpret)
 
 
@@ -715,7 +717,8 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          nblocks=16, krefine=15, nrefine=None,
                          warm_halfwidth=16, anchor_warm=False,
                          anchor_halfwidth=64, warm_trips_cap=None,
-                         anchor_trips_cap=3, interpret=False):
+                         anchor_trips_cap=3, pert_newton=False,
+                         interpret=False):
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
     ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R)).
 
@@ -757,7 +760,8 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
         warm_halfwidth=warm_halfwidth, anchor_warm=anchor_warm,
         anchor_halfwidth=anchor_halfwidth,
         warm_trips_cap=warm_trips_cap,
-        anchor_trips_cap=anchor_trips_cap, interpret=interpret)
+        anchor_trips_cap=anchor_trips_cap, pert_newton=pert_newton,
+        interpret=interpret)
     return out[0]
 
 
@@ -766,7 +770,8 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                       nblocks=16, krefine=15, nrefine=None,
                       warm_halfwidth=16, anchor_warm=False,
                       anchor_halfwidth=64, warm_trips_cap=None,
-                      anchor_trips_cap=3, interpret=False):
+                      anchor_trips_cap=3, pert_newton=False,
+                      interpret=False):
     """Shared body of surfdisp_roots_batch{,_grouped}: one bracketing
     + refinement pipeline over the concatenation of every target's
     phase-velocity lanes."""
@@ -863,11 +868,20 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
             else jnp.concatenate([cpv for cpv in c_prevs], axis=-1)
         cp = jnp.clip(c_prev.astype(dtype), cm, betmx)
         prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'newton')
-        # A/B: extend the Newton recentering to perturbation-move
-        # warm solves as well (costs one extra kernel call per solve;
-        # pays when the ring's second trip would otherwise run)
-        pert_newton = (not anchor_warm) and os.environ.get(
-            'BAYHUNTER_PERT_PREPASS', '') == 'newton'
+        # Newton recentering on perturbation-move warm solves: the
+        # caller chooses per move type (``pert_newton`` — the sampler
+        # enables it for vs and vp/vs moves, whose root shifts reach
+        # tens of DDC steps, and not for z moves, whose shifts are
+        # sub-DDC and for whom the recentering call is pure overhead:
+        # measured @10240 chains vs 14.3 -> 10.9 ms/step,
+        # vpvs 11.1 -> 10.1, z 9.2 -> 10.2).  The env var forces the
+        # choice globally for A/B: 'newton' -> always, '0' -> never.
+        _pp_env = os.environ.get('BAYHUNTER_PERT_PREPASS', '')
+        if _pp_env == 'newton':
+            pert_newton = True
+        elif _pp_env == '0':
+            pert_newton = False
+        pert_newton = (not anchor_warm) and pert_newton
         use_walker = (os.environ.get('BAYHUNTER_WARM_SOLVER',
                                      'walk') == 'walk'
                       and dtype == jnp.float32

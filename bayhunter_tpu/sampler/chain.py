@@ -418,7 +418,26 @@ def build_sampler(eval_fn, cfg, mesh=None):
     # re-score the cached synthetics.
     # ------------------------------------------------------------------
 
-    def _ring_width_for(move_id):
+    def _pert_newton_for(move_id):
+        # Newton warm-start recentering per (static) perturbation
+        # move id — one in-kernel value+slope secular evaluation that
+        # puts every reachable lane's walk start back on its root
+        # (ops/swd.py pert_newton).  It pays exactly where root
+        # shifts are large: vs moves (p99.9 ~11 DDC steps) and vp/vs
+        # moves (a global vp change); z-move shifts are sub-DDC, so
+        # for them the recentering is pure overhead (measured @10240
+        # chains: vs 14.3 -> 10.9 ms/step, vpvs 11.1 -> 10.1,
+        # z 9.2 -> 10.2).  Dimension moves run their own iterated
+        # prepass (anchor_warm path).
+        if not isinstance(move_id, int):
+            return False
+        env = {MOVE_VS: ('BAYHUNTER_VS_PREPASS', 'newton'),
+               MOVE_VPVS: ('BAYHUNTER_VPVS_PREPASS', 'newton'),
+               MOVE_Z: ('BAYHUNTER_Z_PREPASS', '')}.get(move_id)
+        return (env is not None
+                and os.environ.get(*env) == 'newton')
+
+    def _ring_width_for(move_id, newton=False):
         # ring width per (static) move id, sized to the measured
         # root-shift distributions under adapted proposal widths:
         # vs moves reach p99.9 ~11 steps / max ~26, while z and vp/vs
@@ -434,16 +453,29 @@ def build_sampler(eval_fn, cfg, mesh=None):
         # lane forces its whole block to walk to the bound, so the
         # bound IS the dim-solve cost.  (With the anchor prepass,
         # BAYHUNTER_DIM_PREPASS=anchor, restore BAYHUNTER_DIM_RING=24
-        # — anchor residuals reach p90 ~10 steps.)  Env overrides
-        # exist for same-session A/B of the (width x trips) tradeoff
-        # at fixed coverage (see evaluator warm_trips_cap).
+        # — anchor residuals reach p90 ~10 steps.)  ``newton``
+        # narrows the vs/vpvs defaults when the caller also runs the
+        # per-move Newton recentering (_pert_newton_for, batch path):
+        # recentered reachable lanes start on their roots, so the
+        # remaining walk bound only serves Newton-unreachable lanes —
+        # the same cap-reject class at any width (the dim-move
+        # finding, re-measured for vs: ring 16 -> 4 under Newton is
+        # throughput-positive with the reject class unchanged).  Env
+        # overrides exist for same-session A/B of the (width x trips)
+        # tradeoff at fixed coverage (see evaluator warm_trips_cap).
         if isinstance(move_id, int):
             if move_id in (MOVE_BIRTH, MOVE_DEATH):
                 return int(os.environ.get('BAYHUNTER_DIM_RING', '6'))
-            if move_id in (MOVE_Z, MOVE_VPVS):
+            if move_id == MOVE_Z:
                 return int(os.environ.get('BAYHUNTER_NARROW_RING',
                                           '8'))
-        return int(os.environ.get('BAYHUNTER_PERT_RING', '16'))
+            if move_id == MOVE_VPVS:
+                return int(os.environ.get(
+                    'BAYHUNTER_VPVS_RING',
+                    '4' if newton else
+                    os.environ.get('BAYHUNTER_NARROW_RING', '8')))
+        return int(os.environ.get('BAYHUNTER_PERT_RING',
+                                  '4' if newton else '16'))
 
     def propose(state, move_id):
         """Draw a proposal (no forward solve); per chain."""
@@ -845,11 +877,13 @@ def build_sampler(eval_fn, cfg, mesh=None):
         if (isinstance(move_id, int) and move_id != MOVE_NOISE
                 and batch_eval is not None):
             prop = jax.vmap(lambda s: propose(s, move_id))(states)
+            newton = _pert_newton_for(move_id)
             logL_p, misfits_p, fvalid, cache_p = batch_eval(
                 prop['vs'], prop['z'], prop['n'], prop['vpvs'],
                 prop['noise'], states.cache, states.cell,
-                ring_width=_ring_width_for(move_id),
-                dim_move=move_id in (MOVE_BIRTH, MOVE_DEATH))
+                ring_width=_ring_width_for(move_id, newton=newton),
+                dim_move=move_id in (MOVE_BIRTH, MOVE_DEATH),
+                pert_newton=newton)
             return jax.vmap(
                 lambda s, p, l, m, f, c:
                 accept_update(s, move_id, p, l, m, f, c)

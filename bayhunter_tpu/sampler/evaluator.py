@@ -309,12 +309,14 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     # ------------------------------------------------------------------
 
     def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width,
-                       dim_move=False):
+                       dim_move=False, pert_newton=False):
         """(C, ...) variant of _forward; pallas-backed for the
         dispersion secular functions (Rayleigh and Love) and for the
         RF reflectivity recursion.  ``dim_move`` enables the
         anchor-shift warm start for birth/death proposals (see
-        ops/swd.py surfdisp_roots_batch)."""
+        ops/swd.py surfdisp_roots_batch); ``pert_newton`` the Newton
+        warm-start recentering for perturbation moves with large root
+        shifts (vs, vp/vs)."""
         if spec.kind == 'rf' and pallas_rf:
             from bayhunter_tpu.ops.rf import synrf_batch
             C = h.shape[0]
@@ -347,7 +349,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
                 anchor_warm=dim_move, warm_trips_cap=cap,
-                interpret=interpret)
+                pert_newton=pert_newton, interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
                     spec.interp_x, spec.periods, cc))(cg)
@@ -394,7 +396,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     _dim_prepass = os.environ.get('BAYHUNTER_DIM_PREPASS', 'newton')
 
     def _grouped_swd_results(h, vp, vs_l, rho, cache, ring_width,
-                             dim_move):
+                             dim_move, pert_newton=False):
         """dict target-index -> (cg, err, roots) for grouped SWD
         targets (empty when grouping is off or unusable)."""
         if not swd_group_of or (dim_move and _dim_prepass != 'newton'):
@@ -416,13 +418,15 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 [cache[j][1] for j in idxs],
                 iwave=key[0], iflsph=key[1], mode=key[2],
                 warm_halfwidth=ring_width, anchor_warm=dim_move,
-                warm_trips_cap=cap, interpret=interpret)
+                warm_trips_cap=cap, pert_newton=pert_newton,
+                interpret=interpret)
             for j, out in zip(idxs, outs):
                 results[j] = out
         return results
 
     def eval_full_batch(vs, z, n, vpvs, noise, cache, cell,
-                        ring_width=16, dim_move=False):
+                        ring_width=16, dim_move=False,
+                        pert_newton=False):
         """Batched eval_full: all arrays carry a leading chain axis."""
         C = vs.shape[0]
         h, vp, vs_l, rho = jax.vmap(
@@ -435,7 +439,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         new_cache = []
 
         grouped = _grouped_swd_results(h, vp, vs_l, rho, cache,
-                                       ring_width, dim_move)
+                                       ring_width, dim_move,
+                                       pert_newton)
 
         for i, spec in enumerate(specs):
             if i in grouped:
@@ -460,7 +465,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             c_prev = cache[i][1] if spec.kind == 'swd' else None
             y, tvalid, roots = _forward_batch(spec, h, vp, vs_l, rho,
                                               c_prev, ring_width,
-                                              dim_move)
+                                              dim_move, pert_newton)
             new_cache.append((y, roots))
 
             yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \

@@ -635,6 +635,51 @@ def test_batch_solver_newton_prepass(monkeypatch):
     _assert_roots_close(w_newton, w_anchor)
 
 
+def test_pert_newton_matches_wide_ring(monkeypatch):
+    """pert_newton=True + a narrow walk bound (the sampler's vs/vpvs
+    configuration) must find the same roots as the default wide-ring
+    warm solve on realistic perturbation-move inputs: the Newton
+    recentering puts reachable lanes back on their roots, so the
+    narrow bound only changes which hopeless lanes cap-reject."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+    rs = np.random.RandomState(41)
+    C, NL = 12, 13
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        n = rs.randint(3, 7)
+        z = np.sort(rs.uniform(2, 55, n))
+        v = np.sort(rs.uniform(2.4, 4.5, n))
+        H[i, :n - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :n] = v
+    per = jnp.asarray(np.linspace(2.0, 35.0, 9), jnp.float32)
+
+    def layered(vs):
+        vp = vs * 1.73
+        return tuple(jnp.asarray(x) for x in
+                     (H, vp, vs, vp * 0.32 + 0.77))
+
+    _, err0, roots = surfdisp_roots_batch(*layered(VS), per,
+                                          interpret=True)
+    assert not np.any(np.asarray(err0))
+
+    # vs-move-sized perturbation, off the DDC/16 refinement grid
+    VS_p = (VS + rs.uniform(-0.025, 0.025, VS.shape)
+            .astype(np.float32))
+    args_p = layered(VS_p)
+    cg_wide, err_w, _ = surfdisp_roots_batch(
+        *args_p, per, c_prev=roots, warm_halfwidth=16,
+        interpret=True)
+    cg_nwt, err_n, _ = surfdisp_roots_batch(
+        *args_p, per, c_prev=roots, warm_halfwidth=4,
+        pert_newton=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(err_n),
+                                  np.asarray(err_w))
+    _assert_roots_close(cg_nwt, cg_wide)
+
+
 @pytest.mark.parametrize('iwave,igr', [(2, 0), (2, 1), (1, 0)])
 def test_walker_matches_staged_warm_solve(iwave, igr, monkeypatch):
     """The fused walking warm solver (BAYHUNTER_WARM_SOLVER=walk,
