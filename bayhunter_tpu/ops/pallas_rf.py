@@ -453,18 +453,34 @@ def interface_coeffs_xla(p, vp, vs, rho):
     the frequency-lane kernel turns ~600 (8, 1)-shaped VPU ops per
     layer into one dense (C, NL-1)-vectorized computation plus VMEM
     loads (measured: they were ~98% of the kernel's per-call
-    compute)."""
+    compute).
+
+    The computation runs on FLAT (C*(NL-1),) arrays: a (C, NL-1)
+    f32 array tiles as T(8, 128) with the 20-wide minor dim padded to
+    128 lanes, so every elementwise op of the ~600-op chain would
+    waste 6/7 of the VPU (measured 0.74 ms of a 7.9 ms vs-step at
+    10240 chains — the single largest non-pallas item).  Flat 1-D
+    arrays tile full lanes; an optimization barrier keeps XLA from
+    folding the relayout back into the padded-layout consumers."""
     C, nl = vp.shape
-    mats = _interface_coeffs(
-        p[:, None], vp[:, :-1], vs[:, :-1], rho[:, :-1],
-        vp[:, 1:], vs[:, 1:], rho[:, 1:])      # 4 x 4 x (re, im)
+
+    def flat(x):
+        return x.reshape(C * (nl - 1))
+    args = (jnp.broadcast_to(p[:, None], (C, nl - 1)),
+            vp[:, :-1], vs[:, :-1], rho[:, :-1],
+            vp[:, 1:], vs[:, 1:], rho[:, 1:])
+    args = jax.lax.optimization_barrier(
+        tuple(flat(a) for a in args))
+    mats = _interface_coeffs(*args)            # 4 x 4 x (re, im)
     comps = []
     for mat in mats:
         for entry in mat:
-            comps.append(jnp.broadcast_to(entry[0], (C, nl - 1)))
-            comps.append(jnp.broadcast_to(entry[1], (C, nl - 1)))
+            comps.append(jnp.broadcast_to(entry[0], (C * (nl - 1),)))
+            comps.append(jnp.broadcast_to(entry[1], (C * (nl - 1),)))
+    comps = jax.lax.optimization_barrier(tuple(comps))
     # (C, NL-1, 32) -> (C, (NL-1)*32) with layer-major lanes
-    packed = jnp.stack(comps, axis=-1).astype(jnp.float32)
+    packed = jnp.stack([c.reshape(C, nl - 1) for c in comps],
+                       axis=-1).astype(jnp.float32)
     return packed.reshape(C, (nl - 1) * 32)
 
 

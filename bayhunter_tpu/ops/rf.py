@@ -441,18 +441,30 @@ def _decompose_zr(cz, cr, p, vp0, vs0):
     return cz_n, cr_n
 
 
+def _gauss_shift_coeffs(nfreq, nsamp, fsamp, tshift, gauss_a):
+    """The per-frequency Gauss low-pass + time-shift factor ``cq`` of
+    ``compute_rf`` (greens.cpp:383-394) as a host numpy array — it is
+    a constant of (nsamp, fsamp, tshift, gauss_a), so callers can fold
+    it into other build-time tables (synrf_batch folds it into the
+    inverse-DFT matmul tables)."""
+    dw = 2.0 * np.pi * fsamp / nsamp
+    w = dw * np.arange(nfreq)
+    qfac = np.sqrt(np.pi) * fsamp / gauss_a
+    wa = np.minimum(w / gauss_a, 50.0)
+    return qfac * np.exp(-0.25 * wa * wa - 1j * w * tshift)
+
+
 def _deconvolve(cz, cr, wave_type, nsamp, fsamp, tshift, gauss_a, p,
-                vp_top, vs_top, cdtype):
+                vp_top, vs_top, cdtype, apply_cq=True):
     """Spectral division + Gauss filter + time shift — port of
     ``compute_rf`` (greens.cpp:343-398).  The waterlevel is NOT applied
-    (dead code in the reference)."""
+    (dead code in the reference).  ``apply_cq=False`` skips the
+    Gauss/shift multiply (the caller folds it elsewhere); the cr/cz
+    outputs are then raw."""
     # width-derived so truncated spectra (synrf_batch's Gauss-cutoff
     # lanes) deconvolve with the same dw grid
     nfreq = cz.shape[-1]
     rdtype = jnp.real(cz).dtype
-    dw = 2.0 * jnp.pi * fsamp / nsamp
-    w = dw * jnp.arange(nfreq, dtype=rdtype)
-    qfac = jnp.sqrt(jnp.pi) * fsamp / gauss_a
 
     do_decomp = (vs_top > 0.01) & (jnp.abs(p) > 0.0001)
     cz_d, cr_d = _decompose_zr(cz, cr, p, vp_top, vs_top)
@@ -465,6 +477,12 @@ def _deconvolve(cz, cr, wave_type, nsamp, fsamp, tshift, gauss_a, p,
     denom = jnp.real(cz * jnp.conj(cz))
     crf = cr * jnp.conj(cz) / denom
 
+    if not apply_cq:
+        return crf, cr, cz
+    # traced (fsamp/tshift/gauss_a may be tracers under synrf's jit)
+    dw = 2.0 * jnp.pi * fsamp / nsamp
+    w = dw * jnp.arange(nfreq, dtype=rdtype)
+    qfac = jnp.sqrt(jnp.pi) * fsamp / gauss_a
     wa = jnp.minimum(w / gauss_a, 50.0)
     ii = jnp.asarray(1j, cdtype)
     cq = qfac * jnp.exp((-0.25 * wa * wa).astype(cdtype)
@@ -558,25 +576,36 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
         wave_type=wave_type, fref=fref, nfreq_out=cut,
         interpret=interpret)
 
-    crf, _, _ = jax.vmap(
-        lambda z, r, vpt, vst: _deconvolve(
-            z, r, wave_type, nsamp, fsamp, tshift, gauss_a, slowness,
-            vpt, vst, cdtype))(cz, cr, vp_top, nsv)
     # inverse transform: with the Gauss-cutoff spectrum only `cut`
     # of nfreq bins are nonzero, so the irfft collapses to two tiny
     # constant matmuls (cut x nsamp cos/sin tables) — XLA's batched
     # small FFTs run on scalar/vector units while this rides the MXU.
-    # BAYHUNTER_RF_DFT=0 restores jnp.fft.irfft.
-    if cut < nfreq and os.environ.get('BAYHUNTER_RF_DFT',
-                                      '1') == '1':
+    # The Gauss low-pass + time-shift factor cq (a per-frequency
+    # constant) is FOLDED into the tables:
+    #   Re(crf*cq) @ cos + Im(crf*cq) @ sin
+    #     = Re(crf) @ (Rq*cos + Iq*sin) + Im(crf) @ (Rq*sin - Iq*cos)
+    # so the deconvolution skips the per-chain complex cq multiply.
+    # BAYHUNTER_RF_DFT=0 restores cq-in-XLA + jnp.fft.irfft.
+    use_dft = cut < nfreq and os.environ.get('BAYHUNTER_RF_DFT',
+                                             '1') == '1'
+    crf, _, _ = jax.vmap(
+        lambda z, r, vpt, vst: _deconvolve(
+            z, r, wave_type, nsamp, fsamp, tshift, gauss_a, slowness,
+            vpt, vst, cdtype, apply_cq=not use_dft))(
+                cz, cr, vp_top, nsv)
+    if use_dft:
         t = np.arange(nsamp)
         k = np.arange(cut)
         ang = 2.0 * np.pi * np.outer(k, t) / nsamp
         scale = np.full((cut, 1), 2.0 / nsamp)
         scale[0, 0] = 1.0 / nsamp
-        cos_t = jnp.asarray(np.cos(ang) * scale, rdtype)
-        sin_t = jnp.asarray(np.sin(ang) * (-scale), rdtype)
-        rf = (jnp.real(crf) @ cos_t + jnp.imag(crf) @ sin_t)
+        cos_t = np.cos(ang) * scale
+        sin_t = np.sin(ang) * (-scale)
+        cq = _gauss_shift_coeffs(cut, nsamp, fsamp, tshift, gauss_a)
+        rq, iq = np.real(cq)[:, None], np.imag(cq)[:, None]
+        cos_q = jnp.asarray(rq * cos_t + iq * sin_t, rdtype)
+        sin_q = jnp.asarray(rq * sin_t - iq * cos_t, rdtype)
+        rf = (jnp.real(crf) @ cos_q + jnp.imag(crf) @ sin_q)
         return rf.astype(rdtype)
     if cut < nfreq:
         crf = jnp.concatenate(

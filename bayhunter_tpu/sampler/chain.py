@@ -478,25 +478,44 @@ def build_sampler(eval_fn, cfg, mesh=None):
                                   '4' if newton else '16'))
 
     def propose(state, move_id):
-        """Draw a proposal (no forward solve); per chain."""
+        """Draw a proposal (no forward solve); per chain.
+
+        A STATIC (Python int) ``move_id`` — the production step_fn /
+        cycle_fn path — specializes the program: the depth re-sort
+        (src/SingleChain.py:315-328) is an exact no-op for moves that
+        leave (z, n) unchanged (the state is already depth-sorted and
+        the sort keys only on z, stably), so vs/noise/vpvs proposals
+        skip it, and noise/vpvs proposals skip the model-validity
+        evaluation entirely (their validity is the hyperparameter
+        prior alone)."""
         key, k1, k2, k_u = random.split(state.key, 4)
 
-        vs_p, z_p, n_p, noise_p, vpvs_p, dvs2 = lax.switch(
-            move_id, branches, state, k1, k2)
+        static_id = move_id if isinstance(move_id, int) else None
+        if static_id is not None:
+            vs_p, z_p, n_p, noise_p, vpvs_p, dvs2 = branches[static_id](
+                state, k1, k2)
+        else:
+            vs_p, z_p, n_p, noise_p, vpvs_p, dvs2 = lax.switch(
+                move_id, branches, state, k1, k2)
 
-        # model proposals are re-sorted by depth
-        # (src/SingleChain.py:315-328); noise/vpvs moves leave (vs, z)
-        # untouched and already sorted, so sorting unconditionally is a
-        # no-op for them.
-        vs_p, z_p = sort_by_depth(vs_p, z_p, n_p)
+        if static_id not in (MOVE_VS, MOVE_NOISE, MOVE_VPVS):
+            vs_p, z_p = sort_by_depth(vs_p, z_p, n_p)
 
-        vmodel = model_is_valid(vs_p, z_p, n_p, state.vpvs, priors_dict,
-                                cfg.thickmin, cfg.lvz, cfg.hvz,
-                                mantle=cfg.mantle)
-        valid = jnp.where(move_id < 4, vmodel,
-                          jnp.where(move_id == MOVE_NOISE,
-                                    _valid_noise(noise_p),
-                                    _valid_vpvs(vpvs_p)))
+        if static_id == MOVE_NOISE:
+            valid = _valid_noise(noise_p)
+        elif static_id == MOVE_VPVS:
+            valid = _valid_vpvs(vpvs_p)
+        else:
+            vmodel = model_is_valid(vs_p, z_p, n_p, state.vpvs,
+                                    priors_dict, cfg.thickmin, cfg.lvz,
+                                    cfg.hvz, mantle=cfg.mantle)
+            if static_id is not None:
+                valid = vmodel
+            else:
+                valid = jnp.where(move_id < 4, vmodel,
+                                  jnp.where(move_id == MOVE_NOISE,
+                                            _valid_noise(noise_p),
+                                            _valid_vpvs(vpvs_p)))
         u = jnp.log(random.uniform(k_u, dtype=dtype))
         return dict(key=key, vs=vs_p, z=z_p, n=n_p, noise=noise_p,
                     vpvs=vpvs_p, dvs2=dvs2, valid=valid, u=u)

@@ -231,6 +231,37 @@ def test_cycle_matches_step_sequence(sampler):
     np.testing.assert_array_equal(np.asarray(s_e.n), n_before)
 
 
+def test_static_step_matches_traced_run(sampler):
+    """step_fn with STATIC move ids specializes propose() — it skips
+    the depth re-sort for vs/noise/vpvs moves (an exact no-op: the
+    state is already depth-sorted and the sort keys only on z,
+    stably) and prunes the unused model-validity computation for
+    noise/vpvs moves.  The specialization must match run_fn's fully
+    traced path (lax.switch move dispatch, unconditional sort,
+    select-combined validity) over the same move schedule.  Floats
+    are compared to ~1 ulp, not bit-exactly: XLA fuses the two
+    differently-structured programs differently (FMA contraction on
+    the noise update was measured 1 ulp apart on CPU), but any real
+    specialization bug (a wrongly skipped sort or validity check)
+    diverges trajectories macroscopically through flipped accepts."""
+    states_a = sampler.init_states_host(17, 8)
+    states_b = sampler.init_states_host(17, 8)
+
+    n_iter = 60
+    states_a, _ = sampler.run_fn(states_a, 1, n_iter)
+    for m in sampler.moves_for(-INITPARAMS['iter_burnin'], n_iter):
+        states_b = sampler.step_fn(states_b, int(m))
+    for name in ('n', 'iiter', 'accepted', 'proposed'):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(states_a, name)),
+            np.asarray(getattr(states_b, name)), err_msg=name)
+    for name in ('vs', 'z', 'vpvs', 'noise', 'logL', 'propdist'):
+        np.testing.assert_allclose(
+            np.asarray(getattr(states_a, name)),
+            np.asarray(getattr(states_b, name)),
+            rtol=1e-13, atol=1e-15, err_msg=name)
+
+
 def test_prior_only_dispatch_cycles_uniform_layer_histogram():
     """Long prior-only run through the PRODUCTION dispatch path
     (fused cycles with host-drawn dimension slots): the layer-count
