@@ -442,16 +442,21 @@ def build_sampler(eval_fn, cfg, mesh=None):
         # root-shift distributions under adapted proposal widths:
         # vs moves reach p99.9 ~11 steps / max ~26, while z and vp/vs
         # moves shift < 1 step at p99.9 — their solves run a cheaper
-        # narrow ring.  Birth/death get a NARROW ring (walk bound
-        # ring*cap = 12) because the iterated Newton prepass
+        # narrow ring.  Birth/death get a MINIMAL ring (walk bound
+        # ring*cap = 2) because the iterated Newton prepass
         # (ops/swd.py BAYHUNTER_DIM_NEWTON_ITERS=2) recenters every
-        # reachable lane to <0.2 DDC of its root — measured on real
-        # dim proposals at reference shapes the unfound-lane rate is
-        # bound-INSENSITIVE from 48 down to 12 (death 16.4% -> 17.0%
-        # of chains, birth ~3%: far lanes are far beyond any bound)
-        # while the solve drops 2.9 -> 1.5 ms @512 — every unfound
-        # lane forces its whole block to walk to the bound, so the
-        # bound IS the dim-solve cost.  (With the anchor prepass,
+        # reachable lane to <0.2 DDC of its root (birth p99 0.13 DDC,
+        # death p90 0.02 on real dim proposals at reference shapes)
+        # — the unfound-lane rate is bound-INSENSITIVE all the way
+        # from 48 down to 2 (2026-08-19 on-chip sweep @10240 chains,
+        # fwd_reject_dim_pct 10.66/10.68/10.65/10.61/10.57 at ring
+        # 6/4/3/2/1) while throughput rises 1.07M -> 1.49M
+        # proposals/s — every unfound lane forces its whole block to
+        # walk to the bound, so the bound IS the dim-solve cost, and
+        # the shift distribution is bimodal: recentered lanes sit ON
+        # their roots, hopeless lanes are beyond ANY bound.
+        # Reference-scale posterior revalidated at ring 1
+        # (VALIDATION.md).  (With the anchor prepass,
         # BAYHUNTER_DIM_PREPASS=anchor, restore BAYHUNTER_DIM_RING=24
         # — anchor residuals reach p90 ~10 steps.)  ``newton``
         # narrows the vs/vpvs defaults when the caller also runs the
@@ -459,23 +464,24 @@ def build_sampler(eval_fn, cfg, mesh=None):
         # recentered reachable lanes start on their roots, so the
         # remaining walk bound only serves Newton-unreachable lanes —
         # the same cap-reject class at any width (the dim-move
-        # finding, re-measured for vs: ring 16 -> 4 under Newton is
-        # throughput-positive with the reject class unchanged).  Env
+        # finding, re-measured for vs: ring 16 -> 4 -> 2 under Newton
+        # is throughput-positive with the reject class unchanged —
+        # fwd_reject_pct 4.69 vs 4.72 @10240, 2026-08-19).  Env
         # overrides exist for same-session A/B of the (width x trips)
         # tradeoff at fixed coverage (see evaluator warm_trips_cap).
         if isinstance(move_id, int):
             if move_id in (MOVE_BIRTH, MOVE_DEATH):
-                return int(os.environ.get('BAYHUNTER_DIM_RING', '6'))
+                return int(os.environ.get('BAYHUNTER_DIM_RING', '1'))
             if move_id == MOVE_Z:
                 return int(os.environ.get('BAYHUNTER_NARROW_RING',
                                           '8'))
             if move_id == MOVE_VPVS:
                 return int(os.environ.get(
                     'BAYHUNTER_VPVS_RING',
-                    '4' if newton else
+                    '2' if newton else
                     os.environ.get('BAYHUNTER_NARROW_RING', '8')))
         return int(os.environ.get('BAYHUNTER_PERT_RING',
-                                  '4' if newton else '16'))
+                                  '2' if newton else '16'))
 
     def propose(state, move_id):
         """Draw a proposal (no forward solve); per chain.

@@ -1,5 +1,8 @@
 """Headline benchmark: aggregate McMC proposal throughput for the
-tutorial joint SWD+RF inversion at a 1k-chain batch on one chip.
+tutorial joint SWD+RF inversion at the 10,240-chain north-star
+configuration (BASELINE.md defines the >=100x target at a 10k-chain
+joint inversion) on one chip.  BENCH_NCHAINS=512 for the
+small-batch / latency-oriented figure.
 
 Baseline (BASELINE.md): the reference's multiprocessing CPU run
 achieves ~2,570 proposals/s aggregate (21 chains x 150k iterations in
@@ -25,7 +28,7 @@ jax.config.update('jax_compilation_cache_dir',
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 BASELINE_PROPOSALS_PER_S = 2570.0
-NCHAINS = int(os.environ.get('BENCH_NCHAINS', 512))
+NCHAINS = int(os.environ.get('BENCH_NCHAINS', 10240))
 ITERS = int(os.environ.get('BENCH_ITERS', 2000))
 
 
