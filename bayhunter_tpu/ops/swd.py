@@ -986,10 +986,17 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         # (also the automatic fallback for f64 and >128-lane solves).
         if use_walker:
             from bayhunter_tpu.ops.pallas_walk import warm_roots_walk
+            # in-kernel bracket refinement depth (A/B knob): the
+            # default keeps the staged pipeline's DDC/16^nrefine
+            # pure-bisection guarantee; the closing secant polish
+            # typically lands far inside it, so the knob exists to
+            # measure how much of the walker's cost is refinement
+            nbisect = int(os.environ.get('BAYHUNTER_WALK_NBISECT',
+                                         str(4 * nrefine)))
             c, found = warm_roots_walk(
                 d, a, b, rho_w, omegas, cp, cm, betmx, float(DDC),
                 iwave=iwave, ring_k=warm_halfwidth, trips=trips,
-                nbisect=4 * nrefine,
+                nbisect=nbisect,
                 newton_iters=walk_newton_iters,
                 newton_maxshift=3.0 * anchor_halfwidth * DDC,
                 interpret=interpret)
