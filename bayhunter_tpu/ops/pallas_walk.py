@@ -37,6 +37,7 @@ dynamic lane-dim vector loads (see pallas_secular._dyn_col).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,13 +54,18 @@ LANES = 128
 
 
 def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
-                 newton_maxshift, *refs):
+                 newton_maxshift, compact_mr, *refs):
+    nprops = 3 if iwave == 1 else 4
+    if compact_mr is not None:
+        refs, scratch = refs[:-nprops], refs[-nprops:]
     if iwave == 1:
         (top_ref, c0_ref, om_ref, cm_ref, bx_ref, d_ref, b_ref,
          rho_ref, c_out, f_out) = refs
+        prefs = (d_ref, b_ref, rho_ref)
     else:
         (top_ref, c0_ref, om_ref, cm_ref, bx_ref, d_ref, a_ref,
          b_ref, rho_ref, c_out, f_out) = refs
+        prefs = (d_ref, a_ref, b_ref, rho_ref)
     top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
     c0 = c0_ref[0]
     omega = jnp.maximum(om_ref[0], 1.0e-4)
@@ -67,8 +73,44 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
     bx = bx_ref[0]
     dc = jnp.float32(ddc)
 
-    def prop(ref, l):
-        return ref[0, l]           # (C_TILE, LANES), dynamic-major l
+    if compact_mr is not None:
+        # compact layer properties: the XLA side ships (nl, C_TILE, M)
+        # per-chain columns instead of lane-broadcast (nl, C_TILE,
+        # LANES) blocks (the broadcast+pad chain was ~0.2 ms of XLA
+        # tail per solve and 17x the HBM traffic).  Expand ONCE into
+        # VMEM scratch — only the secular-visible layers (0..top and
+        # the halfspace) — with M static lane-group selects per layer;
+        # padding lanes (>= M*R) take group 0, matching _pack's
+        # first-lane padding of c0/om/cm/bx, so every padded lane is
+        # an exact duplicate of lane 0 and exits the walk with it.
+        M, R = compact_mr
+        C_T, LANESK = c0.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C_T, LANESK), 1)
+        group = jnp.where(lane < M * R, lane // R, 0)
+
+        def expand(l, _):
+            for pr, sc in zip(prefs, scratch):
+                row = pr[0, l]                      # (C_TILE, M)
+                out = jnp.zeros((C_T, LANESK), row.dtype)
+                for m in range(M):
+                    out = jnp.where(group == m, row[:, m:m + 1], out)
+                sc[l] = out
+            return 0
+
+        # layer 0 is read unconditionally (water test + water-surface
+        # clause), even for pure-halfspace tiles where top == -1
+        jax.lax.fori_loop(0, jnp.maximum(top + 1, 1), expand, 0)
+        expand(nl - 1, 0)
+        if iwave == 1:
+            d_ref, b_ref, rho_ref = scratch
+        else:
+            d_ref, a_ref, b_ref, rho_ref = scratch
+
+        def prop(ref, l):
+            return ref[l]          # (C_TILE, LANES) from VMEM scratch
+    else:
+        def prop(ref, l):
+            return ref[0, l]       # (C_TILE, LANES), dynamic-major l
 
     water = prop(b_ref, 0) <= 0.0
 
@@ -279,13 +321,19 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         raise ValueError('walker supports R <= 128 lanes per chain '
                          '(got %d)' % R)
 
+    compact = os.environ.get('BAYHUNTER_WALK_COMPACT', '0') == '1'
     c0p = _pack(jnp.clip(c_prev, cm, betmx), T, M, R)
     omp = _pack(omegas, T, M, R)
     cmp_ = _pack(jnp.broadcast_to(cm, (Cp, R)), T, M, R)
     bxp = _pack(jnp.broadcast_to(betmx, (Cp, R)), T, M, R)
-    dprops = [_pack_props(p, T, M, R, nl)
-              for p in ((h, vs, rho) if iwave == 1
-                        else (h, vp, vs, rho))]
+    props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
+    if compact:
+        # (C, NL) -> (T, NL, C_TILE, M): per-chain columns, expanded
+        # to lane groups inside the kernel (see _walk_kernel)
+        dprops = [jnp.moveaxis(p.reshape(T, C_TILE, M, nl), -1, 1)
+                  for p in props]
+    else:
+        dprops = [_pack_props(p, T, M, R, nl) for p in props]
 
     # deepest consequential layer per program (chains grouped G per
     # program; resort keeps them n-homogeneous)
@@ -300,25 +348,30 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         return pl.BlockSpec((1, C_TILE, width), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def spec3():
-        return pl.BlockSpec((1, nl, C_TILE, LANES),
+    def spec3(width):
+        return pl.BlockSpec((1, nl, C_TILE, width),
                             lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [spec2(LANES)] * 4 + [spec3()] * len(dprops))
+                + [spec2(LANES)] * 4
+                + [spec3(M if compact else LANES)] * len(dprops))
     out_specs = [spec2(LANES), spec2(LANES)]
     max_steps = 2 * ring_k * trips
+    scratch_shapes = ([pltpu.VMEM((nl, C_TILE, LANES), dtype)]
+                      * len(dprops)) if compact else []
 
     c_pk, f_pk = pl.pallas_call(
         functools.partial(_walk_kernel, nl, iwave, max_steps,
                           nbisect, float(ddc), int(newton_iters),
-                          float(newton_maxshift)),
+                          float(newton_maxshift),
+                          (M, R) if compact else None),
         out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype),
                    jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)],
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(top, c0p, omp, cmp_, bxp, *dprops)
 

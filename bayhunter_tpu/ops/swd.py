@@ -986,13 +986,29 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         # (also the automatic fallback for f64 and >128-lane solves).
         if use_walker:
             from bayhunter_tpu.ops.pallas_walk import warm_roots_walk
-            # in-kernel bracket refinement depth (A/B knob): the
-            # default keeps the staged pipeline's DDC/16^nrefine
-            # pure-bisection guarantee; the closing secant polish
-            # typically lands far inside it, so the knob exists to
-            # measure how much of the walker's cost is refinement
-            nbisect = int(os.environ.get('BAYHUNTER_WALK_NBISECT',
-                                         str(4 * nrefine)))
+            # in-kernel bracket refinement depth.  Phase solves
+            # (nrefine == 1) default to ONE bisection: the closing
+            # secant polish interpolates the bracket's secular VALUES
+            # and dominates the accuracy — measured against the f64
+            # native golden on randomized perturbed pathology models,
+            # the error distribution is depth-INVARIANT from 4
+            # bisections down to 1 (median 1.8e-7, p99 1.5e-6;
+            # scripts/calibrate_walk_nbisect.py and the
+            # test_walker_warm_refinement_error_bounded regression),
+            # while each saved bisection is one secular sweep per
+            # solve.  On-chip @10240 chains (2026-08-19, one
+            # normalizer): depth 4 -> 2 -> 1 gives 1.498 -> 1.583 ->
+            # 1.692 M proposals/s with the reject classes flat
+            # (fwd 4.54, dim 10.59 everywhere).  Worst case goes
+            # DDC/16 -> DDC/2 + secant, still far inside posterior
+            # noise (sigma >= 1e-3 km/s); reference-scale posterior
+            # revalidated at depth 1 (VALIDATION.md session-8).
+            # Group-velocity / f64 solves (nrefine == 3) keep the
+            # full 4*nrefine depth: their 1%-apart half-solve
+            # differencing amplifies bracket error ~100x.
+            nbisect = int(os.environ.get(
+                'BAYHUNTER_WALK_NBISECT',
+                '1' if nrefine == 1 else str(4 * nrefine)))
             c, found = warm_roots_walk(
                 d, a, b, rho_w, omegas, cp, cm, betmx, float(DDC),
                 iwave=iwave, ring_k=warm_halfwidth, trips=trips,

@@ -1,5 +1,7 @@
 """Pallas secular kernel vs the XLA path (interpret mode on CPU)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -821,3 +823,54 @@ def test_converged_warm_start_returns_root():
     d = np.abs(np.asarray(cg_w) - np.asarray(cg0))
     assert np.percentile(d, 90) < 2e-6, np.percentile(d, 90)
     assert d.max() < 5e-5, d.max()
+
+
+def test_walker_compact_props_bitwise_parity():
+    """BAYHUNTER_WALK_COMPACT ships the walker's layer properties as
+    per-chain (T, NL, 8, M) columns expanded in-kernel to lane groups
+    (VMEM scratch) instead of XLA-side lane-broadcast blocks.  Same
+    evaluations in the same order -> results must be BITWISE equal to
+    the dense path, Love and Rayleigh, including a pure-halfspace
+    (n=1, top == -1) batch whose layer 0 is read unconditionally by
+    the water-surface clause."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+    rs = np.random.RandomState(3)
+    NL = 10
+    per = jnp.asarray(np.linspace(2.0, 35.0, 11), jnp.float32)
+
+    def batch(C, with_halfspace_only):
+        H = np.zeros((C, NL), np.float32)
+        VS = np.zeros((C, NL), np.float32)
+        for c in range(C):
+            if with_halfspace_only and c == 0:
+                vs = np.array([3.5]); h = np.array([0.0])
+            else:
+                n = rs.randint(2, 7)
+                vs = np.sort(rs.uniform(2.3, 4.5, n))
+                h = rs.uniform(3.0, 14.0, n)
+                h[-1] = 0.0
+            H[c, :h.size] = h
+            VS[c] = vs[-1]
+            VS[c, :vs.size] = vs
+        VP = VS * 1.73
+        return tuple(jnp.asarray(x)
+                     for x in (H, VP, VS, VP * 0.32 + 0.77))
+
+    for iwave, hs in ((2, False), (2, True), (1, False)):
+        args = batch(8, hs)
+        _, _, roots = surfdisp_roots_batch(*args, per, iwave=iwave,
+                                           interpret=True)
+        cp = roots + 0.0013
+        kw = dict(c_prev=cp, iwave=iwave, warm_halfwidth=2,
+                  warm_trips_cap=2, pert_newton=True, interpret=True)
+        os.environ.pop('BAYHUNTER_WALK_COMPACT', None)
+        cg0, e0, r0 = surfdisp_roots_batch(*args, per, **kw)
+        os.environ['BAYHUNTER_WALK_COMPACT'] = '1'
+        try:
+            cg1, e1, r1 = surfdisp_roots_batch(*args, per, **kw)
+        finally:
+            del os.environ['BAYHUNTER_WALK_COMPACT']
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+        np.testing.assert_array_equal(
+            np.asarray(r0), np.asarray(r1),
+            err_msg='iwave=%d halfspace-only=%s' % (iwave, hs))

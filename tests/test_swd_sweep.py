@@ -208,3 +208,65 @@ def test_grouped_solver_pathology_sweep():
             np.testing.assert_allclose(
                 np.asarray(g[0])[ok], np.asarray(r[0])[ok],
                 atol=5e-4, err_msg='warm %s roots, %s' % (name, kind))
+
+
+def test_walker_warm_refinement_error_bounded():
+    """Regression bound on the WALKING warm solver's root accuracy at
+    the production bracket-refinement depth (BAYHUNTER_WALK_NBISECT
+    default 2 for phase solves): randomized vs-move-sized
+    perturbations of pathology models, warm-solved from the unshifted
+    roots, against the f64 native golden of the perturbed model.
+
+    Calibration (scripts/calibrate_walk_nbisect.py, 550 lanes): the
+    error distribution is depth-INVARIANT from 4 bisections down to 1
+    (median 1.8e-7, p99 1.5e-6) — the closing secant polish on the
+    bracket values dominates; the max (~6e-2) is a rare warm-vs-cold
+    root-selection difference near osculating modes, not a refinement
+    error, so it is bounded as a count, not a magnitude."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+
+    rs = np.random.RandomState(17)
+    per = jnp.asarray(PERIODS, jnp.float32)
+    errs = []
+    n_outlier = 0
+    for kind in KINDS:
+        rows0, rows2, golds = [], [], []
+        while len(rows0) < 6:
+            h, vp, vs, rho = make_model(rs, kind)
+            vs2 = vs.copy()
+            i = rs.randint(0, vs.size)
+            vs2[i] = np.clip(vs2[i] + rs.normal(0, 0.015), 2.0, 5.0)
+            vp2 = vs2 * (vp[0] / vs[0])
+            rho2 = vp2 * 0.32 + 0.77
+            cg_n, err_n = native.surfdisp_native(h, vp2, vs2, rho2,
+                                                 PERIODS, iwave=2)
+            if err_n:
+                continue
+            rows0.append((_pad(h, 0.0), _pad(vp, vp[-1]),
+                          _pad(vs, vs[-1]), _pad(rho, rho[-1])))
+            rows2.append((_pad(h, 0.0), _pad(vp2, vp2[-1]),
+                          _pad(vs2, vs2[-1]), _pad(rho2, rho2[-1])))
+            golds.append(cg_n)
+        B = lambda rows, j: jnp.asarray(
+            np.stack([r[j] for r in rows]).astype(np.float32))
+        args0 = tuple(B(rows0, j) for j in range(4))
+        args2 = tuple(B(rows2, j) for j in range(4))
+        gold = np.stack(golds)
+        _, _, roots = surfdisp_roots_batch(*args0, per,
+                                           interpret=True)
+        cg, err, _ = surfdisp_roots_batch(
+            *args2, per, c_prev=roots, warm_halfwidth=2,
+            warm_trips_cap=2, pert_newton=True, interpret=True)
+        cgv = np.asarray(cg)
+        found = np.isfinite(cgv) & (cgv > 0)
+        e = np.abs(cgv[found] - gold[found])
+        n_outlier += int((e > 1.5e-3).sum())
+        errs.append(e[e <= 1.5e-3])
+    e = np.concatenate(errs)
+    assert e.size >= 250
+    # calibrated: median 1.8e-7, p99 1.5e-6 (depth-invariant 4..1)
+    assert np.median(e) < 2e-6
+    assert np.percentile(e, 99) < 2e-5
+    # root-selection outliers (warm lock onto a neighbouring mode):
+    # rare, depth-independent, bounded as a fraction of lanes
+    assert n_outlier <= 0.01 * (e.size + n_outlier)
