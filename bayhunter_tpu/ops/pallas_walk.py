@@ -321,7 +321,10 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         raise ValueError('walker supports R <= 128 lanes per chain '
                          '(got %d)' % R)
 
-    compact = os.environ.get('BAYHUNTER_WALK_COMPACT', '0') == '1'
+    # Compact prop shipping (session-9 on-chip A/B: bitwise-equal to
+    # the dense path, +2.5% @512 / wash @10240, and the walker's prop
+    # input bytes shrink by ~R): default on; =0 restores dense blocks.
+    compact = os.environ.get('BAYHUNTER_WALK_COMPACT', '1') == '1'
     c0p = _pack(jnp.clip(c_prev, cm, betmx), T, M, R)
     omp = _pack(omegas, T, M, R)
     cmp_ = _pack(jnp.broadcast_to(cm, (Cp, R)), T, M, R)

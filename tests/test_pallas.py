@@ -863,7 +863,7 @@ def test_walker_compact_props_bitwise_parity():
         cp = roots + 0.0013
         kw = dict(c_prev=cp, iwave=iwave, warm_halfwidth=2,
                   warm_trips_cap=2, pert_newton=True, interpret=True)
-        os.environ.pop('BAYHUNTER_WALK_COMPACT', None)
+        os.environ['BAYHUNTER_WALK_COMPACT'] = '0'
         cg0, e0, r0 = surfdisp_roots_batch(*args, per, **kw)
         os.environ['BAYHUNTER_WALK_COMPACT'] = '1'
         try:
