@@ -247,7 +247,7 @@ def _displacement(p, vp, vs):
 # ----------------------------------------------------------------------
 
 def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
-                 coeff_xla, *refs):
+                 coeff_xla, q_const, *refs):
     if dynamic:
         top_ref, *refs = refs
     else:
@@ -285,8 +285,34 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
 
     hmat = _displacement(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
 
+    if q_const is not None:
+        # UNIFORM-Q hoist: with one Q per wave type shared by every
+        # layer and chain (the production default — the plugin's
+        # Qp=500/Qs=225), the anelastic complex-velocity factor
+        # vc = v*u(w), u = 1 + lgw/(pi Q) + i/2Q depends on frequency
+        # only, so 1/u^2 is ONE shared (1, F) complex vector instead
+        # of a per-layer vc build + complex square + inversion
+        # (~30 (8, F) VPU ops per layer).  qc = sqrt((1/v^2)(1/u^2)
+        # - p^2) — algebraically identical, f32-rounding-level
+        # different (op order), parity-tested against the array-Q
+        # path.
+        def _iu2(qf):
+            u = (1.0 + lgw / (jnp.pi * qf),
+                 jnp.full_like(lgw, 0.5 / qf))
+            return _cinv(_cmul(u, u))                   # (1, F)
+        iu2_p = _iu2(jnp.float32(q_const[0]))
+        iu2_s = _iu2(jnp.float32(q_const[1]))
+
     def _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l):
         """Anelastic phase terms e1/e2 = exp(-i w h q_{p,s})."""
+        if q_const is not None:
+            def phase_c(v, iu2_v):
+                r = 1.0 / (v * v)                       # (8, 1)
+                qc = _csqrt((iu2_v[0] * r - p * p, iu2_v[1] * r))
+                arg = (w * h_l * qc[1], -w * h_l * qc[0])
+                return _cexp(arg)
+            return phase_c(vp_l, iu2_p), phase_c(vs_l, iu2_s)
+
         def phase(v, qf):
             vc = (v * (1.0 + lgw / (jnp.pi * qf)), v * (0.5 / qf))
             iv2 = _cinv(_cmul(vc, vc))
@@ -503,6 +529,18 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         nfreq = min(nfreq, int(nfreq_out))
     F = max(128, -(-nfreq // 128) * 128)
 
+    # scalar qp/qs (uniform Q) enable the shared-phase-factor kernel
+    # specialization (see _resp_kernel); BAYHUNTER_RF_QCONST=0 keeps
+    # the per-layer computation for A/B
+    q_const = None
+    if (isinstance(qp, (int, float)) and isinstance(qs, (int, float))
+            and os.environ.get('BAYHUNTER_RF_QCONST', '1') == '1'):
+        q_const = (float(qp), float(qs))
+    if isinstance(qp, (int, float)):
+        qp = jnp.full((C, nl), float(qp), jnp.float32)
+    if isinstance(qs, (int, float)):
+        qs = jnp.full((C, nl), float(qs), jnp.float32)
+
     Cp = -(-C // C_TILE) * C_TILE
     def padc(x):
         if Cp == C:
@@ -574,7 +612,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
-                          dyn, coeff_xla),
+                          dyn, coeff_xla, q_const),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,

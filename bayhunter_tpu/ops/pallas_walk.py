@@ -54,17 +54,21 @@ LANES = 128
 
 
 def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
-                 newton_maxshift, compact_mr, *refs):
+                 newton_maxshift, compact_mr, has_sl, *refs):
     nprops = 3 if iwave == 1 else 4
     if compact_mr is not None:
         refs, scratch = refs[:-nprops], refs[-nprops:]
+    *ins, c_out, f_out, s_out = refs
+    top_ref, c0_ref, om_ref, cm_ref, bx_ref = ins[:5]
+    ins = ins[5:]
+    sl_ref = None
+    if has_sl:
+        sl_ref, *ins = ins
     if iwave == 1:
-        (top_ref, c0_ref, om_ref, cm_ref, bx_ref, d_ref, b_ref,
-         rho_ref, c_out, f_out) = refs
+        d_ref, b_ref, rho_ref = ins
         prefs = (d_ref, b_ref, rho_ref)
     else:
-        (top_ref, c0_ref, om_ref, cm_ref, bx_ref, d_ref, a_ref,
-         b_ref, rho_ref, c_out, f_out) = refs
+        d_ref, a_ref, b_ref, rho_ref = ins
         prefs = (d_ref, a_ref, b_ref, rho_ref)
     top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
     c0 = c0_ref[0]
@@ -165,14 +169,63 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
     # ops/swd.py prepass: value+slope from a DDC/16 finite
     # difference, shift clipped to newton_maxshift per iteration.
     eps_n = dc / 16.0
-    for _ in range(newton_iters):
+    if newton_iters > 0:
         v0 = secular(c0)
-        v1 = secular(c0 + eps_n)
-        slope = (v1 - v0) / eps_n
-        slope = jnp.where(slope == 0.0, 1.0, slope)
-        shift = -v0 / slope
-        shift = jnp.clip(shift, -newton_maxshift, newton_maxshift)
+        if has_sl:
+            # CACHED-SLOPE first iteration (1 sweep): the previous
+            # solve's closing-bracket slope rides the forward cache.
+            # Valid for same-dimension (perturbation) proposals only
+            # — the secular renormalization scale is a continuous
+            # function of (model, c), so a small perturbation leaves
+            # the cached dval/dc scale-compatible with this sweep's
+            # value; dimension proposals add/remove a whole layer's
+            # renormalization and must keep the FD first iteration
+            # (the evaluator passes no slopes for those).  Lanes with
+            # the 0.0 no-cache sentinel skip recentering (shift 0).
+            sl = sl_ref[0]
+            hasf = jnp.where(jnp.abs(sl) > 0.0, 1.0, 0.0)
+            slope = jnp.where(hasf > 0.5, sl, 1.0)
+            shift = jnp.clip(-v0 / slope, -newton_maxshift,
+                             newton_maxshift) * hasf
+        else:
+            # value + finite-difference slope (2 sweeps)
+            hasf = 1.0
+            v1 = secular(c0 + eps_n)
+            slope = (v1 - v0) / eps_n
+            slope = jnp.where(slope == 0.0, 1.0, slope)
+            shift = jnp.clip(-v0 / slope, -newton_maxshift,
+                             newton_maxshift)
+        c_pv, v_pv = c0, v0
         c0 = jnp.clip(c0 + shift, cm, bx)
+        # follow-up iterations: SECANT slope across the actual
+        # previous step — one secular sweep each instead of two.
+        # Values from different sweeps carry different accumulated
+        # renormalization scales, but the scale is a deterministic
+        # continuous positive function of c (pallas_secular mode
+        # note), so the secant acts on the same scaled function the
+        # FD slope already does.  Lanes whose previous step was
+        # smaller than the FD epsilon keep the previous slope (a
+        # near-zero step means the start was already recentered; a
+        # tiny-denominator secant would fling it by maxshift).
+        # BAYHUNTER_NEWTON_SECANT=0 restores two-sweep FD Newton for
+        # every iteration (A/B arm).
+        use_secant = os.environ.get('BAYHUNTER_NEWTON_SECANT',
+                                    '1') == '1'
+        for _ in range(newton_iters - 1):
+            v0 = secular(c0)
+            if use_secant:
+                step = c0 - c_pv
+                sec = (v0 - v_pv) / jnp.where(step == 0.0, 1.0,
+                                              step)
+                slope = jnp.where(jnp.abs(step) > eps_n, sec, slope)
+            else:
+                v1 = secular(c0 + eps_n)
+                slope = (v1 - v0) / eps_n
+            slope = jnp.where(slope == 0.0, 1.0, slope)
+            shift = jnp.clip(-v0 / slope, -newton_maxshift,
+                             newton_maxshift) * hasf
+            c_pv, v_pv = c0, v0
+            c0 = jnp.clip(c0 + shift, cm, bx)
 
     f0 = secular(c0)
     # Mosaic cannot round-trip i1 vectors through loop carries
@@ -260,6 +313,13 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
     good = (c > lo) & (c < hi) & jnp.isfinite(c)
     c_out[0] = jnp.where(good, c, edge)
     f_out[0] = foundf
+    # the bracket's secular slope, free from the refined endpoint
+    # values — cached by the evaluator to seed the NEXT perturbation
+    # solve's Newton recentering without an FD partner sweep.  0.0 is
+    # the no-cache sentinel (unfound lanes).
+    width = hi - lo
+    sl_out = (f_hi - f_lo) / jnp.where(width == 0.0, 1.0, width)
+    s_out[0] = jnp.where(foundf > 0.5, sl_out, 0.0)
 
 
 def _pack(x, T, M, R):
@@ -291,15 +351,20 @@ def _pack_props(p, T, M, R, nl):
 def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                     iwave=2, ring_k=16, trips=2, nbisect=4,
                     newton_iters=0, newton_maxshift=0.0,
-                    interpret=False):
+                    slope_prev=None, interpret=False):
     """Warm root solve via the walking kernel.
 
     h/vp/vs/rho : (C, NL); omegas/c_prev (C, R); cm/betmx (C, 1).
-    Returns (c, found) each (C, R): the refined root nearest c_prev
-    and whether one was bracketed within trips*ring_k steps.
+    Returns (c, found, slope) each (C, R): the refined root nearest
+    c_prev, whether one was bracketed within trips*ring_k steps, and
+    the refined bracket's secular slope (0.0 for unfound lanes) —
+    cacheable to seed the next perturbation solve's recentering.
     ``newton_iters`` > 0 runs that many in-kernel Newton recentering
     passes on c_prev before the walk (the dimension-move prepass,
-    ops/swd.py), each shift clipped to ``newton_maxshift``.
+    ops/swd.py), each shift clipped to ``newton_maxshift``;
+    ``slope_prev`` (C, R, optional) supplies a cached slope for the
+    FIRST pass so it costs one secular sweep instead of two (0.0
+    lanes skip recentering).
     """
     C, R = omegas.shape
     nl = h.shape[-1]
@@ -315,6 +380,8 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         h, vp, vs, rho, omegas, c_prev, cm, betmx = (
             padc(x) for x in (h, vp, vs, rho, omegas, c_prev, cm,
                               betmx))
+        if slope_prev is not None:
+            slope_prev = padc(slope_prev)
     T = Cp // G
 
     if R > LANES:
@@ -329,6 +396,7 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
     omp = _pack(omegas, T, M, R)
     cmp_ = _pack(jnp.broadcast_to(cm, (Cp, R)), T, M, R)
     bxp = _pack(jnp.broadcast_to(betmx, (Cp, R)), T, M, R)
+    slp = None if slope_prev is None else _pack(slope_prev, T, M, R)
     props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
     if compact:
         # (C, NL) -> (T, NL, C_TILE, M): per-chain columns, expanded
@@ -357,29 +425,32 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                             memory_space=pltpu.VMEM)
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [spec2(LANES)] * 4
+                + [spec2(LANES)] * (4 if slp is None else 5)
                 + [spec3(M if compact else LANES)] * len(dprops))
-    out_specs = [spec2(LANES), spec2(LANES)]
+    out_specs = [spec2(LANES)] * 3
     max_steps = 2 * ring_k * trips
     scratch_shapes = ([pltpu.VMEM((nl, C_TILE, LANES), dtype)]
                       * len(dprops)) if compact else []
 
-    c_pk, f_pk = pl.pallas_call(
+    args = ((top, c0p, omp, cmp_, bxp)
+            + (() if slp is None else (slp,)) + tuple(dprops))
+    c_pk, f_pk, s_pk = pl.pallas_call(
         functools.partial(_walk_kernel, nl, iwave, max_steps,
                           nbisect, float(ddc), int(newton_iters),
                           float(newton_maxshift),
-                          (M, R) if compact else None),
-        out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype),
-                   jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)],
+                          (M, R) if compact else None,
+                          slp is not None),
+        out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)]
+        * 3,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(top, c0p, omp, cmp_, bxp, *dprops)
+    )(*args)
 
     def unpack(xp):
         x = xp[..., :M * R].reshape(T, C_TILE, M, R)
         return x.reshape(Cp, R)[:C]
 
-    return unpack(c_pk), unpack(f_pk) > 0.5
+    return unpack(c_pk), unpack(f_pk) > 0.5, unpack(s_pk)

@@ -484,7 +484,8 @@ def _ring_brackets(omega, c_prev, cm, betmx, secular, K, max_trips,
     return lo, found
 
 
-def _ksection_refine(omega, lo, secular, KR, niter, dtype):
+def _ksection_refine(omega, lo, secular, KR, niter, dtype,
+                     return_slope=False):
     """Narrow a (lo, lo+DDC) bracket by (KR+1)^niter via simultaneous
     evaluation of KR+1 grid points per iteration (the wide-vector
     replacement of the reference's ``nevill`` serial refinement),
@@ -544,7 +545,15 @@ def _ksection_refine(omega, lo, secular, KR, niter, dtype):
     # the smaller-|f| endpoint instead.
     edge = jnp.where(jnp.abs(f_lo) <= jnp.abs(f_hi), lo, hi)
     good = (c > lo) & (c < hi) & jnp.isfinite(c)
-    return jnp.where(good, c, edge)
+    c = jnp.where(good, c, edge)
+    if return_slope:
+        # the final bracket's secular slope — free from values already
+        # in hand; cached to seed the next warm solve's Newton
+        # recentering (see pallas_walk slope_prev)
+        width = hi - lo
+        slope = (f_hi - f_lo) / jnp.where(width == 0.0, 1.0, width)
+        return c, slope
+    return c
 
 
 # --------------------------------------------------------------------------
@@ -674,7 +683,9 @@ def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
                                  anchor_halfwidth=64,
                                  warm_trips_cap=None,
                                  anchor_trips_cap=3,
-                                 pert_newton=False, interpret=False):
+                                 pert_newton=False, slope_prevs=None,
+                                 return_slopes=False,
+                                 interpret=False):
     """Solve SEVERAL same-wave-type dispersion targets of one model
     batch in shared kernel calls.
 
@@ -698,7 +709,7 @@ def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
 
     Returns a list of ``(cg, err, roots)`` per target.
     """
-    return _roots_batch_impl(h, vp, vs, rho, tuple(periods_list),
+    outs = _roots_batch_impl(h, vp, vs, rho, tuple(periods_list),
                              tuple(igrs), c_prevs,
                              iwave=iwave, mode=mode, iflsph=iflsph,
                              kblock=kblock, nblocks=nblocks,
@@ -709,7 +720,9 @@ def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
                              warm_trips_cap=warm_trips_cap,
                              anchor_trips_cap=anchor_trips_cap,
                              pert_newton=pert_newton,
+                             slope_prevs=slope_prevs,
                              interpret=interpret)
+    return outs if return_slopes else [o[:3] for o in outs]
 
 
 def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
@@ -718,9 +731,14 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          warm_halfwidth=16, anchor_warm=False,
                          anchor_halfwidth=64, warm_trips_cap=None,
                          anchor_trips_cap=3, pert_newton=False,
+                         slope_prev=None, return_slopes=False,
                          interpret=False):
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
-    ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R)).
+    ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R))
+    — plus the roots' bracket slopes (C, R) when ``return_slopes``.
+    ``slope_prev`` optionally carries the previous solve's slopes to
+    seed the perturbation-move Newton recentering with one secular
+    sweep instead of two (see pallas_walk).
 
     f32 only (the sampler hot path); the secular function (Rayleigh
     ``dltar4`` or Love ``dltar1``) runs in the pallas VMEM kernel with
@@ -761,8 +779,9 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
         anchor_halfwidth=anchor_halfwidth,
         warm_trips_cap=warm_trips_cap,
         anchor_trips_cap=anchor_trips_cap, pert_newton=pert_newton,
+        slope_prevs=None if slope_prev is None else [slope_prev],
         interpret=interpret)
-    return out[0]
+    return out[0] if return_slopes else out[0][:3]
 
 
 def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
@@ -771,7 +790,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                       warm_halfwidth=16, anchor_warm=False,
                       anchor_halfwidth=64, warm_trips_cap=None,
                       anchor_trips_cap=3, pert_newton=False,
-                      interpret=False):
+                      slope_prevs=None, interpret=False):
     """Shared body of surfdisp_roots_batch{,_grouped}: one bracketing
     + refinement pipeline over the concatenation of every target's
     phase-velocity lanes."""
@@ -927,16 +946,39 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
             if walk_newton:
                 walk_newton_iters = n_newton
             else:
+                # mirrors the in-kernel schedule (pallas_walk):
+                # iteration 1 = value + FD slope, follow-ups = secant
+                # across the actual previous step (one point each)
                 eps = jnp.asarray(DDC / 16.0, dtype)
-                for _ in range(n_newton):
-                    pts = jnp.stack([cp, cp + eps],
-                                    axis=-1)          # (C, R, 2)
-                    vals = secular(omegas[..., None] / pts,
-                                   omegas[..., None])
-                    slope = (vals[..., 1] - vals[..., 0]) / eps
+                pts = jnp.stack([cp, cp + eps], axis=-1)  # (C, R, 2)
+                vals = secular(omegas[..., None] / pts,
+                               omegas[..., None])
+                slope = (vals[..., 1] - vals[..., 0]) / eps
+                slope = jnp.where(slope == 0.0, 1.0, slope)
+                shift = jnp.clip(-vals[..., 0] / slope,
+                                 -maxshift, maxshift)
+                cp_pv, v_pv = cp, vals[..., 0]
+                cp = jnp.clip(cp + shift, cm, betmx)
+                use_secant = os.environ.get(
+                    'BAYHUNTER_NEWTON_SECANT', '1') == '1'
+                for _ in range(n_newton - 1):
+                    if use_secant:
+                        v0 = secular(omegas / cp, omegas)
+                        step = cp - cp_pv
+                        sec = (v0 - v_pv) / jnp.where(
+                            step == 0.0, 1.0, step)
+                        slope = jnp.where(jnp.abs(step) > eps, sec,
+                                          slope)
+                    else:
+                        pts = jnp.stack([cp, cp + eps], axis=-1)
+                        vals = secular(omegas[..., None] / pts,
+                                       omegas[..., None])
+                        v0 = vals[..., 0]
+                        slope = (vals[..., 1] - v0) / eps
                     slope = jnp.where(slope == 0.0, 1.0, slope)
-                    shift = -vals[..., 0] / slope
-                    shift = jnp.clip(shift, -maxshift, maxshift)
+                    shift = jnp.clip(-v0 / slope, -maxshift,
+                                     maxshift)
+                    cp_pv, v_pv = cp, v0
                     cp = jnp.clip(cp + shift, cm, betmx)
         elif anchor_warm:
             if ngroups != 1:
@@ -1009,24 +1051,38 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
             nbisect = int(os.environ.get(
                 'BAYHUNTER_WALK_NBISECT',
                 '1' if nrefine == 1 else str(4 * nrefine)))
-            c, found = warm_roots_walk(
+            # cached slopes seed the walker's Newton recentering
+            # (perturbation moves only — the evaluator passes None
+            # for dimension moves, whose +-1-layer renormalization
+            # jump breaks the cached slope's scale compatibility)
+            sl_prev = None
+            if slope_prevs is not None and walk_newton_iters > 0:
+                sl_prev = slope_prevs[0] if ngroups == 1 \
+                    else jnp.concatenate(list(slope_prevs), axis=-1)
+                sl_prev = sl_prev.astype(dtype)
+            c, found, slope = warm_roots_walk(
                 d, a, b, rho_w, omegas, cp, cm, betmx, float(DDC),
                 iwave=iwave, ring_k=warm_halfwidth, trips=trips,
                 nbisect=nbisect,
                 newton_iters=walk_newton_iters,
                 newton_maxshift=3.0 * anchor_halfwidth * DDC,
+                slope_prev=sl_prev,
                 interpret=interpret)
         else:
             lo, found = _ring_brackets_b(omegas, cp, cm, betmx,
                                          secular, warm_halfwidth,
                                          trips, dtype)
-            c = _ksection_refine(omegas, lo, secular, krefine,
-                                 nrefine, dtype)
+            c, slope = _ksection_refine(omegas, lo, secular, krefine,
+                                        nrefine, dtype,
+                                        return_slope=True)
+            slope = jnp.where(found, slope, 0.0)
     else:
         lo, found = _find_brackets_b(omegas, cm, betmx, secular, mode,
                                      kblock, nblocks, dtype)
-        c = _ksection_refine(omegas, lo, secular, krefine, nrefine,
-                             dtype)
+        c, slope = _ksection_refine(omegas, lo, secular, krefine,
+                                    nrefine, dtype,
+                                    return_slope=True)
+        slope = jnp.where(found, slope, 0.0)
 
     outs = []
     for t_l, t1, (s0, s1), igr_t in zip(t_list, t1_list, slices,
@@ -1047,7 +1103,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         failed_cum = jnp.cumsum(jnp.logical_not(ok), axis=-1) > 0
         cg = jnp.where(failed_cum, 0.0, out)
         err = jnp.any(jnp.logical_not(ok), axis=-1)
-        outs.append((cg, err, c_seg))
+        outs.append((cg, err, c_seg, slope[:, s0:s1]))
     return outs
 
 
@@ -1058,7 +1114,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
 def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
                    mode=1, igr=0, iflsph=0, kblock=64, nblocks=16,
                    krefine=15, nrefine=None, warm_halfwidth=16,
-                   warm_max_trips=None):
+                   warm_max_trips=None, return_slopes=False):
     """Like :func:`surfdisp` but also returns the refined
     phase-velocity roots for warm-starting a subsequent solve.
 
@@ -1157,7 +1213,9 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     else:
         lo, found = _find_brackets(omegas, cm, betmx, secular, mode,
                                    kblock, nblocks, dtype)
-    c = _ksection_refine(omegas, lo, secular, krefine, nrefine, dtype)
+    c, slope = _ksection_refine(omegas, lo, secular, krefine,
+                                nrefine, dtype, return_slope=True)
+    slope = jnp.where(found, slope, 0.0)
 
     nper = t.shape[0]
     if igr > 0:
@@ -1174,6 +1232,8 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     failed_cum = jnp.cumsum(jnp.logical_not(ok)) > 0
     cg = jnp.where(failed_cum, 0.0, out)
     err = jnp.any(jnp.logical_not(ok))
+    if return_slopes:
+        return cg, err, c, slope
     return cg, err, c
 
 

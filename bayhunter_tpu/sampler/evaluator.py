@@ -38,9 +38,12 @@ class EvalBundle(typing.NamedTuple):
     """Joint-target evaluators sharing a forward cache.
 
     The cache (one per chain) is a tuple over targets of
-    ``(y_synth, roots)`` — the synthetic data of the *current* model
-    and, for SWD targets, the dispersion roots used to warm-start the
-    next solve (``roots`` is a zero-length array for RF targets).
+    ``(y_synth, roots, slopes)`` — the synthetic data of the
+    *current* model and, for SWD targets, the dispersion roots used
+    to warm-start the next solve plus their bracket's secular slopes
+    (seeding the next perturbation solve's Newton recentering with
+    one sweep instead of two; 0.0 = no-cache sentinel).  ``roots``
+    and ``slopes`` are zero-length arrays for RF targets.
 
       eval_full(vs, z, n, vpvs, noise, cache)
           -> (logL, misfits, valid, new_cache)   # warm-started
@@ -74,6 +77,14 @@ MISFIT_SENTINEL = 1e15
 # A/B toggle for the pallas RF transmission kernel in the batch path
 # (set BAYHUNTER_PALLAS_RF=0 to fall back to the vmapped XLA synrf)
 _USE_PALLAS_RF = os.environ.get('BAYHUNTER_PALLAS_RF', '1') == '1'
+
+# cached-slope Newton seeding for perturbation-move warm solves
+# (BAYHUNTER_SLOPE_CACHE=0 restores the FD first iteration, for A/B):
+# the previous solve's closing-bracket slope rides the forward cache,
+# so the vs/vpvs recentering costs ONE secular sweep instead of two.
+# Perturbation moves only — dimension proposals change the secular
+# renormalization depth, breaking the cached slope's scale.
+_SLOPE_CACHE = os.environ.get('BAYHUNTER_SLOPE_CACHE', '1') == '1'
 
 # warm-ring trip cap for the batch SWD path; 0 disables the cap
 _WARM_TRIPS_CAP = int(os.environ.get('BAYHUNTER_WARM_CAP', '2')) or None
@@ -218,21 +229,23 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                                       spec.whitener, spec.logcorr_det)
 
     def _forward(spec, h, vp, vs_l, rho, c_prev, ring_width):
-        """One target's synthetic data; returns (y, tvalid, roots)."""
+        """One target's synthetic data; returns
+        (y, tvalid, roots, slopes)."""
         if spec.kind == 'custom':
             y = spec.jax_forward(h, vp, vs_l, rho)
             return (y, jnp.all(jnp.isfinite(y)),
-                    jnp.zeros((0,), dtype))
+                    jnp.zeros((0,), dtype), jnp.zeros((0,), dtype))
         if spec.kind == 'swd':
-            cg, err, roots = surfdisp_roots(
+            cg, err, roots, slopes = surfdisp_roots(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, igr=spec.igr, mode=spec.mode,
-                iflsph=spec.flsph, warm_halfwidth=ring_width)
+                iflsph=spec.flsph, warm_halfwidth=ring_width,
+                return_slopes=True)
             if spec.interp_x is not None:
                 y = jnp.interp(spec.interp_x, spec.periods, cg)
             else:
                 y = cg
-            return y, jnp.logical_not(err), roots
+            return y, jnp.logical_not(err), roots, slopes
         # rf
         qp = jnp.full((nl,), 500.0, dtype)
         qs = jnp.full((nl,), 225.0, dtype)
@@ -244,7 +257,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                            spec.fsamp, spec.tshift, nsv,
                            poisson, wave_type=spec.wave_type)
         y = rf_t[:spec.ndata]
-        return y, jnp.all(jnp.isfinite(y)), jnp.zeros((0,), dtype)
+        return (y, jnp.all(jnp.isfinite(y)), jnp.zeros((0,), dtype),
+                jnp.zeros((0,), dtype))
 
     def _eval(vs, z, n, vpvs, noise, cache, cell, ring_width=16):
         h, vp, vs_l, rho = voronoi_to_layers(vs, z, n, vpvs,
@@ -257,9 +271,10 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         for i, spec in enumerate(specs):
             c_prev = cache[i][1] if cache is not None \
                 and spec.kind == 'swd' else None
-            y, tvalid, roots = _forward(spec, h, vp, vs_l, rho,
-                                        c_prev, ring_width)
-            new_cache.append((y, roots))
+            y, tvalid, roots, slopes = _forward(spec, h, vp, vs_l,
+                                                rho, c_prev,
+                                                ring_width)
+            new_cache.append((y, roots, slopes))
 
             ydiff = jnp.where(tvalid, y - spec.yobs_for(cell), 0.0)
             misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2)))
@@ -309,19 +324,22 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     # ------------------------------------------------------------------
 
     def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width,
-                       dim_move=False, pert_newton=False):
+                       dim_move=False, pert_newton=False,
+                       slope_prev=None):
         """(C, ...) variant of _forward; pallas-backed for the
         dispersion secular functions (Rayleigh and Love) and for the
         RF reflectivity recursion.  ``dim_move`` enables the
         anchor-shift warm start for birth/death proposals (see
         ops/swd.py surfdisp_roots_batch); ``pert_newton`` the Newton
         warm-start recentering for perturbation moves with large root
-        shifts (vs, vp/vs)."""
+        shifts (vs, vp/vs); ``slope_prev`` the cached bracket slopes
+        seeding that recentering with one sweep instead of two."""
         if spec.kind == 'rf' and pallas_rf:
             from bayhunter_tpu.ops.rf import synrf_batch
             C = h.shape[0]
-            qp = jnp.full((C, nl), 500.0, dtype)
-            qs = jnp.full((C, nl), 225.0, dtype)
+            # scalar (uniform) Q enables the kernel's shared
+            # phase-factor specialization (ops/pallas_rf.py q_const)
+            qp, qs = 500.0, 225.0
             vpvs0 = vp[:, 0] / vs_l[:, 0]
             poisson = (2.0 - vpvs0 ** 2) / (2.0 - 2.0 * vpvs0 ** 2)
             nsv = vs_l[:, 0] if spec.nsv is None \
@@ -333,7 +351,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                                interpret=interpret)
             y = rf_t[:, :spec.ndata]
             return (y, jnp.all(jnp.isfinite(y), axis=-1),
-                    jnp.zeros((C, 0), dtype))
+                    jnp.zeros((C, 0), dtype), jnp.zeros((C, 0), dtype))
         if spec.kind == 'swd':
             from bayhunter_tpu.ops.swd import surfdisp_roots_batch
             # warm-ring trip caps (see surfdisp_roots_batch): a lane
@@ -344,26 +362,27 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             cap = (_DIM_TRIPS_CAP or _WARM_TRIPS_CAP) if dim_move \
                 else _WARM_TRIPS_CAP
             cap = cap if c_prev is not None else None
-            cg, err, roots = surfdisp_roots_batch(
+            cg, err, roots, slopes = surfdisp_roots_batch(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
                 anchor_warm=dim_move, warm_trips_cap=cap,
-                pert_newton=pert_newton, interpret=interpret)
+                pert_newton=pert_newton, slope_prev=slope_prev,
+                return_slopes=True, interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
                     spec.interp_x, spec.periods, cc))(cg)
             else:
                 y = cg
-            return y, jnp.logical_not(err), roots
+            return y, jnp.logical_not(err), roots, slopes
         # everything else: vmap the per-chain forward
-        y, tvalid, roots = jax.vmap(
+        y, tvalid, roots, slopes = jax.vmap(
             lambda hh, aa, bb, rr, cp: _forward(spec, hh, aa, bb, rr,
                                                 cp, ring_width),
             in_axes=(0, 0, 0, 0, 0 if spec.kind == 'swd' else None)
         )(h, vp, vs_l, rho,
           c_prev if spec.kind == 'swd' else None)
-        return y, tvalid, roots
+        return y, tvalid, roots, slopes
 
     # same-wave-type SWD targets CAN share one grouped solver call in
     # the batch path (e.g. Rayleigh phase + Rayleigh group): the
@@ -397,8 +416,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
     def _grouped_swd_results(h, vp, vs_l, rho, cache, ring_width,
                              dim_move, pert_newton=False):
-        """dict target-index -> (cg, err, roots) for grouped SWD
-        targets (empty when grouping is off or unusable)."""
+        """dict target-index -> (cg, err, roots, slopes) for grouped
+        SWD targets (empty when grouping is off or unusable)."""
         if not swd_group_of or (dim_move and _dim_prepass != 'newton'):
             return {}
         from bayhunter_tpu.ops.swd import surfdisp_roots_batch_grouped
@@ -411,6 +430,9 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 continue
             done.add(idxs)
             specs_g = [specs[j] for j in idxs]
+            sl_prevs = [cache[j][2] for j in idxs] \
+                if (_SLOPE_CACHE and pert_newton and not dim_move) \
+                else None
             outs = surfdisp_roots_batch_grouped(
                 h, vp, vs_l, rho,
                 [s.periods for s in specs_g],
@@ -419,6 +441,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 iwave=key[0], iflsph=key[1], mode=key[2],
                 warm_halfwidth=ring_width, anchor_warm=dim_move,
                 warm_trips_cap=cap, pert_newton=pert_newton,
+                slope_prevs=sl_prevs, return_slopes=True,
                 interpret=interpret)
             for j, out in zip(idxs, outs):
                 results[j] = out
@@ -444,14 +467,14 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
         for i, spec in enumerate(specs):
             if i in grouped:
-                cg, errg, roots = grouped[i]
+                cg, errg, roots, slopes = grouped[i]
                 if spec.interp_x is not None:
                     y = jax.vmap(lambda cc: jnp.interp(
                         spec.interp_x, spec.periods, cc))(cg)
                 else:
                     y = cg
                 tvalid = jnp.logical_not(errg)
-                new_cache.append((y, roots))
+                new_cache.append((y, roots, slopes))
                 yobs = jax.vmap(spec.yobs_for)(cell) \
                     if spec.batched_obs else spec.yobs
                 ydiff = jnp.where(tvalid[:, None], y - yobs, 0.0)
@@ -463,10 +486,13 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 valid = valid & tvalid
                 continue
             c_prev = cache[i][1] if spec.kind == 'swd' else None
-            y, tvalid, roots = _forward_batch(spec, h, vp, vs_l, rho,
-                                              c_prev, ring_width,
-                                              dim_move, pert_newton)
-            new_cache.append((y, roots))
+            slope_prev = cache[i][2] \
+                if (_SLOPE_CACHE and spec.kind == 'swd'
+                    and pert_newton and not dim_move) else None
+            y, tvalid, roots, slopes = _forward_batch(
+                spec, h, vp, vs_l, rho, c_prev, ring_width,
+                dim_move, pert_newton, slope_prev)
+            new_cache.append((y, roots, slopes))
 
             yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \
                 else spec.yobs

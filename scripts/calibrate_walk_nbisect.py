@@ -59,8 +59,10 @@ def main():
     assert native.load() is not None
     rs = np.random.RandomState(17)
     per = jnp.asarray(PERIODS, jnp.float32)
-    errs = {nb: [] for nb in (4, 3, 2)}
-    unfound = {nb: 0 for nb in (4, 3, 2)}
+    depths = tuple(int(d) for d in os.environ.get(
+        'NB_DEPTHS', '4,3,2').split(','))
+    errs = {nb: [] for nb in depths}
+    unfound = {nb: 0 for nb in depths}
     NMOD = int(os.environ.get('NMOD', '10'))
     for kind in KINDS:
         rows0, rows2, golds, keep = [], [], [], []
@@ -88,7 +90,7 @@ def main():
         gold = np.stack(golds)
         _, _, roots = surfdisp_roots_batch(*args0, per,
                                            interpret=True)
-        for nb in (4, 3, 2):
+        for nb in depths:
             os.environ['BAYHUNTER_WALK_NBISECT'] = str(nb)
             cg, err, _ = surfdisp_roots_batch(
                 *args2, per, c_prev=roots, warm_halfwidth=2,
@@ -98,7 +100,7 @@ def main():
             bad = ~np.isfinite(cgv) | (cgv <= 0)
             unfound[nb] += int(bad.sum())
             errs[nb].append(np.abs(cgv[~bad] - gold[~bad]))
-    for nb in (4, 3, 2):
+    for nb in depths:
         e = np.concatenate(errs[nb])
         print('nb=%d  n=%d unfound=%d  median=%.2e p99=%.2e max=%.2e'
               % (nb, e.size, unfound[nb], np.median(e),

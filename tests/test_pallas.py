@@ -594,8 +594,9 @@ def test_eval_full_batch_grouped_swd_matches_ungrouped(monkeypatch):
                                rtol=5e-4)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
                                rtol=5e-4, atol=1e-5)
-    for (ya, ra), (yb, rb) in zip(c1, c0):
+    for (ya, ra, sa), (yb, rb, sb) in zip(c1, c0):
         assert ya.shape == yb.shape and ra.shape == rb.shape
+        assert sa.shape == ra.shape and sb.shape == rb.shape
         np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
                                    atol=5e-4)
 
@@ -874,3 +875,96 @@ def test_walker_compact_props_bitwise_parity():
         np.testing.assert_array_equal(
             np.asarray(r0), np.asarray(r1),
             err_msg='iwave=%d halfspace-only=%s' % (iwave, hs))
+
+
+def test_cached_slope_newton_matches_fd():
+    """BAYHUNTER_SLOPE_CACHE: the perturbation-move Newton
+    recentering seeded by the cached bracket slope (one secular
+    sweep) must land on the same roots as the finite-difference
+    first iteration (two sweeps) — both are recentering heuristics
+    feeding the same walk + bisection + secant guarantee, so roots
+    agree to refinement accuracy.  Also pins that every found lane
+    of a solve returns a nonzero cacheable slope."""
+    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+    rs = np.random.RandomState(41)
+    NL, C = 10, 8
+    per = jnp.asarray(np.linspace(2, 35, 9), jnp.float32)
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 6)
+        z = np.sort(rs.uniform(2, 50, nlay))
+        v = np.sort(rs.uniform(2.3, 4.5, nlay))
+        H[i, :nlay - 1] = np.diff(np.concatenate(
+            [[0], 0.5 * (z[:-1] + z[1:])]))
+        VS[i] = v[-1]
+        VS[i, :nlay] = v
+    args = [jnp.asarray(x) for x in
+            (H, VS * 1.73, VS, VS * 1.73 * 0.32 + 0.77)]
+
+    _, err0, roots, slopes = surfdisp_roots_batch(
+        *args, per, return_slopes=True, interpret=True)
+    assert not np.any(np.asarray(err0))
+    assert np.all(np.abs(np.asarray(slopes)) > 0)
+
+    # vs-move-sized perturbation of every chain
+    VS2 = VS + rs.normal(0, 0.015, VS.shape).astype(np.float32)
+    args2 = [jnp.asarray(x) for x in
+             (H, VS2 * 1.73, VS2, VS2 * 1.73 * 0.32 + 0.77)]
+    kw = dict(c_prev=roots, warm_halfwidth=2, warm_trips_cap=2,
+              pert_newton=True, return_slopes=True, interpret=True)
+    w_fd, e_fd, _, s_fd = surfdisp_roots_batch(*args2, per, **kw)
+    w_sl, e_sl, _, s_sl = surfdisp_roots_batch(
+        *args2, per, slope_prev=slopes, **kw)
+    np.testing.assert_array_equal(np.asarray(e_fd), np.asarray(e_sl))
+    assert not np.any(np.asarray(e_sl))
+    _assert_roots_close(w_sl, w_fd)
+    assert np.all(np.abs(np.asarray(s_sl)) > 0)
+
+    # the 0.0 no-cache sentinel must disable recentering, not fling
+    # the start by maxshift: an all-zero-slope solve must behave
+    # exactly like a no-prepass solve (same finds, same roots)
+    w_z, e_z, r_z, _ = surfdisp_roots_batch(
+        *args2, per, slope_prev=jnp.zeros_like(slopes), **kw)
+    kw_np = dict(kw, pert_newton=False)
+    w_n, e_n, r_n, _ = surfdisp_roots_batch(*args2, per, **kw_np)
+    np.testing.assert_array_equal(np.asarray(e_z), np.asarray(e_n))
+    np.testing.assert_array_equal(np.asarray(r_z), np.asarray(r_n))
+
+
+def test_rf_uniform_q_phase_hoist_parity():
+    """Scalar (uniform) qp/qs enable the RF kernel's shared
+    phase-factor specialization (ops/pallas_rf.py q_const): 1/u(w)^2
+    is computed once per program instead of a per-layer complex
+    velocity build + square + inversion.  Algebraically identical to
+    the array-Q path; per-layer f32 rounding differences amplify
+    through the recursion + spectral deconvolution to a few 1e-6 on
+    an O(0.1) RF (vs the 5e-5 pallas-vs-XLA parity bound and the
+    >=1e-3 posterior sigma_RF scale)."""
+    from bayhunter_tpu.ops.rf import synrf_batch
+    rs = np.random.RandomState(9)
+    NL, C = 8, 4
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 6)
+        H[i, :nlay - 1] = rs.uniform(3, 20, nlay - 1)
+        vv = np.sort(rs.uniform(2.5, 4.5, nlay))
+        VS[i] = vv[-1]
+        VS[i, :nlay] = vv
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+
+    for wave in (0, 1):
+        args = (jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+                jnp.asarray(RHO))
+        tail = (6.4, 1.0, 256, 5.0, 5.0, VS[:, 0],
+                np.full(C, 0.25, np.float32))
+        rf_s = synrf_batch(*args, 500.0, 225.0, *tail,
+                           wave_type=wave, interpret=True)
+        rf_a = synrf_batch(
+            *args, jnp.full((C, NL), 500.0, jnp.float32),
+            jnp.full((C, NL), 225.0, jnp.float32), *tail,
+            wave_type=wave, interpret=True)
+        np.testing.assert_allclose(np.asarray(rf_s),
+                                   np.asarray(rf_a), atol=1e-5)
