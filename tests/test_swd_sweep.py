@@ -213,14 +213,15 @@ def test_grouped_solver_pathology_sweep():
 def test_walker_warm_refinement_error_bounded():
     """Regression bound on the WALKING warm solver's root accuracy at
     the production bracket-refinement depth (BAYHUNTER_WALK_NBISECT
-    default 2 for phase solves): randomized vs-move-sized
-    perturbations of pathology models, warm-solved from the unshifted
-    roots, against the f64 native golden of the perturbed model.
+    default 0 for phase solves — the closing secant interpolates the
+    raw DDC walk bracket): randomized vs-move-sized perturbations of
+    pathology models, warm-solved from the unshifted roots, against
+    the f64 native golden of the perturbed model.
 
-    Calibration (scripts/calibrate_walk_nbisect.py, 550 lanes): the
-    error distribution is depth-INVARIANT from 4 bisections down to 1
-    (median 1.8e-7, p99 1.5e-6) — the closing secant polish on the
-    bracket values dominates; the max (~6e-2) is a rare warm-vs-cold
+    Calibration (scripts/calibrate_walk_nbisect.py NB_DEPTHS=2,1,0,
+    2145 lanes): depth 2/1/0 median 1.79/1.84/1.90e-7,
+    p99 1.4/1.8/3.7e-6 — the closing secant polish on the bracket
+    values dominates; the max (~6e-2) is a rare warm-vs-cold
     root-selection difference near osculating modes, not a refinement
     error, so it is bounded as a count, not a magnitude."""
     from bayhunter_tpu.ops.swd import surfdisp_roots_batch
