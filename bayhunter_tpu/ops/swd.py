@@ -1028,48 +1028,45 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         # (also the automatic fallback for f64 and >128-lane solves).
         if use_walker:
             from bayhunter_tpu.ops.pallas_walk import warm_roots_walk
-            # in-kernel bracket refinement depth.  RAYLEIGH phase
-            # solves (nrefine == 1) default to ZERO bisections: the
-            # closing secant polish interpolates the bracket's
-            # secular VALUES and dominates the accuracy — measured
-            # against the f64 native golden on randomized perturbed
-            # pathology models, the error distribution barely moves
-            # from 4 bisections down to 0 (depth 2/1/0: median
-            # 1.79/1.84/1.90e-7, p99 1.4/1.8/3.7e-6;
-            # scripts/calibrate_walk_nbisect.py NB_DEPTHS=2,1,0 and
-            # the test_walker_warm_refinement_error_bounded
-            # regression), while each saved bisection is one secular
-            # sweep per solve.  On-chip @10240 chains: depth 4 -> 2
-            # -> 1 gave 1.498 -> 1.583 -> 1.692 M proposals/s
-            # (2026-08-19) and 1 -> 0 gave 1.776 -> 1.835 M
-            # (2026-08-20, +3.3%), with the reject classes flat
-            # throughout.  Worst case is the raw DDC walk bracket +
-            # secant, still far inside posterior noise (sigma >=
-            # 1e-3 km/s); reference-scale posterior revalidated at
-            # depth 0 (VALIDATION.md session-10).  LOVE phase solves
-            # keep ONE bisection: the SH secular function's higher
-            # curvature makes the raw-bracket secant err ~5e-5 at
-            # p90 against the staged dc/16 refiner on unrecentered
-            # (z-move) starts — Newton-recentered starts pin one
-            # bracket endpoint to ~zero secular value and stay at
-            # ~1e-7 either way (IWAVE=1 calibration run), but z
-            # moves have no prepass.  Group-velocity solves
-            # (nrefine == 3)
-            # difference two half-solves 1% apart, amplifying
-            # bracket error ~100x — but calibrated against the f64
-            # native golden (scripts/calibrate_group_nbisect.py,
-            # 1320 lanes) the GROUP error at depth 12/4/2/0 is
-            # median 1.98/2.12/2.11/2.15e-5 with p99
-            # 0.97/1.11/1.17/1.28e-4: the f32-vs-f64 differencing
-            # noise dominates well before the bracket does, so f32
-            # group solves default to depth 4 (statistically
-            # indistinguishable from 12, 8 fewer secular sweeps per
-            # solve); depth 0's MAX degrades 10x (2.4e-3), so the
-            # last two bisections are kept as tail insurance.
+            # in-kernel bracket refinement depth.  The closing
+            # secant is a FALSE-POSITION step, whose error scales
+            # with the PRODUCT of the endpoint errors — so its
+            # accuracy depends on whether the solve was
+            # Newton-recentered:
+            #   * RECENTERED solves (vs/vpvs pert_newton, dim
+            #     anchor_warm newton) have a bracket endpoint
+            #     sitting ~ON the root; the secant lands on it
+            #     regardless of bracket width -> depth 0.  Measured
+            #     at the production distribution vs the f64 native
+            #     golden: depth 2/1/0 median 1.79/1.84/1.90e-7, p99
+            #     1.4/1.8/3.7e-6 (scripts/calibrate_walk_nbisect.py
+            #     NB_DEPTHS=2,1,0, and the
+            #     test_walker_warm_refinement_error_bounded
+            #     regression).  On-chip @10240: depth 4 -> 2 -> 1
+            #     gave 1.498 -> 1.583 -> 1.692 M proposals/s
+            #     (2026-08-19), 1 -> 0 gave 1.776 -> 1.835 M
+            #     (2026-08-20); reject classes flat; reference-scale
+            #     posterior revalidated (VALIDATION.md session-10).
+            #   * UNRECENTERED solves (z moves — no prepass) see the
+            #     full curvature of the raw DDC bracket: on LVZ
+            #     pathology lanes the depth-0 secant missed by up to
+            #     1.7e-3 km/s against the staged dc/16 refiner
+            #     (test_grouped_solver_pathology_sweep, Love
+            #     cross-solver parity) -> keep ONE bisection.
+            #   * GROUP-velocity solves keep the full 4*nrefine:
+            #     their t/(1±h) half-solve differencing amplifies
+            #     bracket error ~100x (a recentered-start
+            #     calibration shows depth-insensitivity — p99
+            #     0.97/1.11/1.17/1.28e-4 at 12/4/2/0,
+            #     scripts/calibrate_group_nbisect.py — but that is
+            #     the endpoint-pinning effect; unrecentered grouped
+            #     sweeps at depth 4 diverged ~2e-3).
+            newton_recentered = ((anchor_warm and prepass == 'newton')
+                                 or pert_newton)
             nbisect = int(os.environ.get(
                 'BAYHUNTER_WALK_NBISECT',
-                ('0' if iwave == 2 else '1') if nrefine == 1
-                else '4'))
+                ('0' if newton_recentered else '1') if nrefine == 1
+                else str(4 * nrefine)))
             # cached slopes seed the walker's Newton recentering
             # (perturbation moves only — the evaluator passes None
             # for dimension moves, whose +-1-layer renormalization

@@ -923,11 +923,18 @@ def test_cached_slope_newton_matches_fd():
 
     # the 0.0 no-cache sentinel must disable recentering, not fling
     # the start by maxshift: an all-zero-slope solve must behave
-    # exactly like a no-prepass solve (same finds, same roots)
-    w_z, e_z, r_z, _ = surfdisp_roots_batch(
-        *args2, per, slope_prev=jnp.zeros_like(slopes), **kw)
-    kw_np = dict(kw, pert_newton=False)
-    w_n, e_n, r_n, _ = surfdisp_roots_batch(*args2, per, **kw_np)
+    # exactly like a no-prepass solve (same finds, same roots).
+    # Pin the refinement depth: the default keys on the pert_newton
+    # FLAG (recentered -> 0, unrecentered -> 1), which would compare
+    # different refiners here.
+    os.environ['BAYHUNTER_WALK_NBISECT'] = '1'
+    try:
+        w_z, e_z, r_z, _ = surfdisp_roots_batch(
+            *args2, per, slope_prev=jnp.zeros_like(slopes), **kw)
+        kw_np = dict(kw, pert_newton=False)
+        w_n, e_n, r_n, _ = surfdisp_roots_batch(*args2, per, **kw_np)
+    finally:
+        del os.environ['BAYHUNTER_WALK_NBISECT']
     np.testing.assert_array_equal(np.asarray(e_z), np.asarray(e_n))
     np.testing.assert_array_equal(np.asarray(r_z), np.asarray(r_n))
 
