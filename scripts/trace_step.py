@@ -75,9 +75,28 @@ def main():
     total = sum(by_name.values())
     print(f'total device-op time {total / 1e3 / REPS:.3f} '
           f'ms/step over {REPS} steps  (pids={sorted(dev_pids)})')
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
+    ranked = sorted(by_name.items(), key=lambda kv: -kv[1])
+    for name, dur in ranked[:40]:
         print(f'{dur / 1e3 / REPS:9.3f} ms  x{count[name] // REPS:<4d}'
               f' {name[:110]}')
+    rest = ranked[40:]
+    if rest:
+        print(f'{sum(d for _, d in rest) / 1e3 / REPS:9.3f} ms  '
+              f'in {len(rest)} further ops '
+              f'(x{sum(count[n] for n, _ in rest) // REPS} calls)')
+    # crude category split of everything but the outermost event
+    cats = defaultdict(float)
+    for name, dur in ranked[1:]:
+        key = ('pallas' if name.startswith('step_fn') else
+               'copy' if name.startswith('copy') else
+               'broadcast' if name.startswith('broadcast') else
+               'concat' if name.startswith('concatenate') else
+               'fusion' if 'fusion' in name else
+               'other')
+        cats[key] += dur
+    print('categories:', {k: round(v / 1e3 / REPS, 3)
+                          for k, v in sorted(cats.items(),
+                                             key=lambda kv: -kv[1])})
 
 
 if __name__ == '__main__':
