@@ -438,9 +438,20 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         # e=1 — see the skip-invariance note in ops/rf.py), so a
         # block may over-execute up to block-1 identity layers: the
         # block runs iff its FIRST layer is active.
-        blk = max(1, int(os.environ.get('BAYHUNTER_RF_BLOCK', '4')))
+        # BAYHUNTER_RF_BLOCK accepts a comma SCHEDULE ("4,2,2": block
+        # widths from the surface down, last width repeats) so the
+        # boundaries can straddle the model-size distribution: a
+        # birth proposal whose extra layer crosses a uniform block-4
+        # boundary over-executes up to 3 identity layers, and those
+        # tiles sit exactly where the posterior mass is (5-8 active
+        # of 21 slots).  A single integer keeps the uniform width.
+        sched = [max(1, int(w)) for w in
+                 os.environ.get('BAYHUNTER_RF_BLOCK', '4').split(',')]
         top = top_ref[pl.program_id(0), 0]
-        for b in range(1, nl - 1, blk):
+        b, nblk = 1, 0
+        while b < nl - 1:
+            blk = sched[min(nblk, len(sched) - 1)]
+            nblk += 1
             hi = min(b + blk, nl - 1)
 
             def run_block(c, b=b, hi=hi):
@@ -449,6 +460,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
                 return c
             carry = jax.lax.cond(b <= top, run_block,
                                  lambda c: c, carry)
+            b = hi
     g = carry[1]
 
     # t = 2 h g ; pick the column of the incident wave
