@@ -446,7 +446,8 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         # tiles sit exactly where the posterior mass is (5-8 active
         # of 21 slots).  A single integer keeps the uniform width.
         sched = [max(1, int(w)) for w in
-                 os.environ.get('BAYHUNTER_RF_BLOCK', '4').split(',')]
+                 os.environ.get('BAYHUNTER_RF_BLOCK', '4').split(',')
+                 if w.strip()] or [4]
         top = top_ref[pl.program_id(0), 0]
         b, nblk = 1, 0
         while b < nl - 1:

@@ -408,6 +408,53 @@ def test_rf_batch_dynamic_skip_multi_tile(mode):
                                atol=5e-5)
 
 
+@pytest.mark.parametrize('sched', ['4,2,2', '1', '4,2,', ''])
+def test_rf_block_schedule_parity(sched, monkeypatch):
+    """The BAYHUNTER_RF_BLOCK comma schedule (non-uniform skip-block
+    widths in the 'branch' dynamic-skip path) must be a pure perf
+    knob: any schedule — including degenerate ('1') and malformed
+    ('4,2,' / '') inputs, which fall back gracefully — produces the
+    same RFs as the vmapped reference path on a multi-tile batch
+    whose tiles have very different depths."""
+    import jax
+    from bayhunter_tpu.ops.rf import synrf, synrf_batch
+    rs = np.random.RandomState(11)
+    NL, C = 12, 16
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 4) if i < 8 else rs.randint(8, NL + 1)
+        H[i, :nlay - 1] = rs.uniform(2, 12, nlay - 1)
+        vv = np.sort(rs.uniform(2.5, 4.5, nlay))
+        VS[i] = vv[-1]
+        VS[i, :nlay] = vv
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    QP = np.full((C, NL), 500., np.float32)
+    QS = np.full((C, NL), 225., np.float32)
+
+    from bayhunter_tpu.ops import pallas_rf
+    monkeypatch.setenv('BAYHUNTER_RF_BLOCK', sched)
+    saved = pallas_rf.DYNAMIC_NL
+    pallas_rf.DYNAMIC_NL = 'branch'
+    try:
+        rf_b = synrf_batch(
+            jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+            jnp.asarray(RHO), jnp.asarray(QP), jnp.asarray(QS),
+            6.4, 1.0, 256, 5.0, 5.0, VS[:, 0],
+            np.full(C, 0.25, np.float32), interpret=True)
+    finally:
+        pallas_rf.DYNAMIC_NL = saved
+    rf_v = jax.vmap(
+        lambda a, b, c, d, n: synrf(
+            a, b, c, d, jnp.asarray(QP[0]), jnp.asarray(QS[0]),
+            6.4, 1.0, 256, 5.0, 5.0, n, 0.25)[2])(
+        jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+        jnp.asarray(RHO), jnp.asarray(VS[:, 0]))
+    np.testing.assert_allclose(np.asarray(rf_b), np.asarray(rf_v),
+                               atol=5e-5)
+
+
 def test_eval_full_batch_matches_vmap_interpret():
     """The full batch evaluator (pallas interpret mode) must agree
     with the vmapped per-chain eval on Rayleigh + Love + RF targets."""
