@@ -1,11 +1,16 @@
 """Native CPU solver bindings (ctypes).
 
-``libbayhunter_native.so`` holds independent C++ implementations of
-the two forward solvers (dispersion.cc, reflectivity.cc) — the same
-role the reference's Fortran/C++ extensions play
-(reference: setup.py:15-33) — used as golden cross-checks for the JAX
-kernels and as a CPU fallback.  The library is built on first import
-with the in-tree Makefile (g++); set BAYHUNTER_NO_NATIVE=1 to skip.
+``libbayhunter_native.so`` holds C++ goldens of the two forward
+solvers (dispersion.cc, reflectivity.cc) — the same role the
+reference's Fortran/C++ extensions play (reference: setup.py:15-33) —
+used as bit-tight cross-checks for the JAX kernels and as a CPU
+fallback.  Their numerical cores are TRANSLITERATIONS of the
+reference's factoring by design (SURVEY.md §7), so they isolate
+JAX-kernel bugs but cannot catch bugs inherited from the reference;
+the independent anchors are the committed reference-output fixtures
+and the conservation-law tests in tests/test_native_physics.py.  The
+library is built on first import with the in-tree Makefile (g++); set
+BAYHUNTER_NO_NATIVE=1 to skip.
 """
 
 import ctypes

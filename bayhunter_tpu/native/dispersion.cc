@@ -1,11 +1,14 @@
-// Native (CPU, C++) surface-wave dispersion solver.
+// Native (CPU, C++) surface-wave dispersion solver — TRANSLITERATED
+// GOLDEN, not an independent implementation.
 //
-// Independent implementation of the same physics as the JAX kernel in
-// bayhunter_tpu/ops/swd.py — Thomson-Haskell/Dunkin compound-matrix
-// secular functions with sign-change root counting and bisection —
-// used as a golden cross-check for the TPU path and as a CPU fallback
-// (the reference ships this layer as Fortran 77,
-// reference: src/extensions/surfdisp96.f).
+// The secular-function core (var_q, dltar1/dltar4, dnka) deliberately
+// mirrors the reference's Fortran branch-for-branch
+// (src/extensions/surfdisp96.f: var / dltar1 / dltar4 / dnka) so that
+// f64 bit-comparison tests isolate JAX-kernel bugs from formula
+// differences, per SURVEY.md §7.  A mirrored golden cannot catch a
+// bug inherited from the reference; the independent anchors are the
+// committed reference-output fixtures (tests/fixtures/st3_*.dat) and
+// the physics property tests (tests/test_native_physics.py).
 //
 // Build: see Makefile (g++ -O3 -shared -fPIC).
 

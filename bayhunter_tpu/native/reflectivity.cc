@@ -1,12 +1,18 @@
-// Native (CPU, C++) receiver-function synthesizer.
+// Native (CPU, C++) receiver-function synthesizer — TRANSLITERATED
+// GOLDEN, not an independent implementation.
 //
-// Independent implementation of the same physics as the JAX kernel in
-// bayhunter_tpu/ops/rf.py — plane-wave reflectivity (Mueller 1985)
-// transmission response, free-surface conversion, Z/R -> P/SV
-// decomposition, spectral-division deconvolution with Gauss low-pass,
-// inverse real FFT — used as a golden cross-check for the TPU path and
-// as a CPU fallback (the reference ships this layer as C++,
-// reference: src/extensions/rfmini/greens.cpp).
+// The coefficient routines (interface_coeffs, free_surface,
+// displacement) deliberately mirror the reference's factoring
+// (src/extensions/rfmini/greens.cpp: coeffm / coeffs / Mueller 1985
+// eq. 89) statement-for-statement so that bit-level comparison tests
+// isolate JAX-kernel bugs from formula differences, per SURVEY.md §7.
+// A mirrored golden cannot catch a bug inherited from the reference;
+// the independent anchors are (1) the committed reference-output
+// fixtures (tests/fixtures/st3_*.dat) and (2) the energy-flux R/T
+// property tests that do not share this factoring
+// (tests/test_native_physics.py).  Pipeline around the coefficients
+// (Gauss low-pass, spectral-division decon, inverse real FFT) follows
+// bayhunter_tpu/ops/rf.py.
 
 #include <cmath>
 #include <complex>

@@ -13,7 +13,7 @@ This kernel walks instead: each lane is one (chain, period) pair
 carrying its own sequential nearest-first candidate walk
 (+1, -1, +2, -2, ... DDC steps from the warm start), then an
 in-kernel bisection of the found bracket and the same closing secant
-polish the staged refiner uses.  A whole program块 exits its walk as
+polish the staged refiner uses.  A whole program block exits its walk as
 soon as every lane has found or died, so the typical solve costs
 ~3-6 secular evaluations per lane instead of 33+17 — and lanes are
 packed densely: each 128-lane row holds floor(128/R) chains' full

@@ -1,6 +1,8 @@
-"""Native C++ solvers vs JAX kernels: independent implementations of
-the same physics must agree tightly on random models (and both match
-the committed reference golden data — covered in test_swd/test_rf)."""
+"""Native C++ goldens vs JAX kernels: the transliterated C++ cores
+must agree tightly with the JAX implementations on random models (and
+both match the committed reference golden data — covered in
+test_swd/test_rf; reference-independent conservation-law anchors live
+in test_native_physics.py)."""
 
 import numpy as np
 import pytest
