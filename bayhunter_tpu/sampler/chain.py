@@ -1063,7 +1063,9 @@ def precompile_cycles(sampler, states, include_steps=False):
     ``jax_compilation_cache_dir``, see bench.py / CLAUDE.md).
 
     ``states`` is only lowered against (shapes/dtypes/shardings);
-    its buffers are not consumed."""
+    its buffers are not consumed.  Returns the compiled executables
+    (bench.py reads their XLA memory analysis for the HBM
+    high-water-mark stat)."""
     import concurrent.futures as cf
 
     jobs = []
@@ -1089,8 +1091,7 @@ def precompile_cycles(sampler, states, include_steps=False):
             jobs.append(lambda m=m: sampler.step_fn.lower(states, m))
     with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
         futures = [ex.submit(lambda j=j: j().compile()) for j in jobs]
-        for f in futures:
-            f.result()
+        return [f.result() for f in futures]
 
 
 def dispatch_cycles(sampler, states, it_global, count, sync_every=4):

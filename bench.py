@@ -137,8 +137,9 @@ def main():
                       [sys.executable] + sys.argv, env)
         raise exc
 
+    compiled = []
     try:
-        precompile_cycles(sampler, states)
+        compiled = precompile_cycles(sampler, states)
         n_early = int(np.ceil(max(0.0, cutoff - it) / cel)) * cel
         states = dispatch_cycles(sampler, states, it, n_early)
         it += n_early
@@ -185,12 +186,28 @@ def main():
     rate = proposals / dt
     norm = _normalizer_gflops()
     ff, pp = jax.device_get((states.fwdfail, states.proposed))
+    # HBM high-water mark: the axon plugin's device.memory_stats() is
+    # None, so report the XLA STATIC peak of the largest dispatched
+    # program (arguments + outputs + temps + code, from the compiled
+    # executables' memory analysis) — the number that governs whether
+    # a configuration fits the chip.
+    hbm_gb = None
     try:
-        ms = jax.local_devices()[0].memory_stats() or {}
-        hbm_gb = round(ms.get('peak_bytes_in_use',
-                              ms.get('bytes_in_use', 0)) / 2 ** 30, 3)
+        peak = 0
+        for c in compiled:
+            ma = c.memory_analysis()
+            p = getattr(ma, 'peak_memory_in_bytes', None)
+            if p is None:
+                p = (ma.argument_size_in_bytes
+                     + ma.output_size_in_bytes
+                     + ma.temp_size_in_bytes
+                     - ma.alias_size_in_bytes
+                     + ma.generated_code_size_in_bytes)
+            peak = max(peak, p)
+        if peak:
+            hbm_gb = round(peak / 2 ** 30, 3)
     except Exception:
-        hbm_gb = None
+        pass
     print(json.dumps({
         'metric': 'joint SWD+RF McMC proposal throughput '
                   '(%d chains, 1 chip)' % NCHAINS,
