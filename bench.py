@@ -224,6 +224,13 @@ def main():
                 100.0 * ff.sum() / max(pp.sum(), 1), 3),
             'fwd_reject_dim_pct': round(
                 100.0 * ff[:, 2].sum() / max(pp[:, 2].sum(), 1), 3),
+            # regression band for the dim-move reject class (measured
+            # 10.5-11% across rounds 2-3; tests/test_dim_reject_pin.py
+            # pins the CPU equivalent) — a throughput cut that bends
+            # the transition kernel shows up as False here
+            'fwd_reject_dim_in_band': bool(
+                0.0 < 100.0 * ff[:, 2].sum()
+                / max(pp[:, 2].sum(), 1) < 12.5),
             'peak_hbm_gb': hbm_gb,
         },
     }))
