@@ -41,7 +41,27 @@ _DYN_ENV = os.environ.get(
 DYNAMIC_NL = {'0': None, '1': 'branch', 'branch': 'branch',
               'loop': 'loop'}.get(_DYN_ENV)
 
-C_TILE = 8
+# Chains per program tile.  16 beats the original 8 by +6.7%
+# END-TO-END at the 10,240-chain bench config (1.918M vs 1.827M
+# proposals/s, same-session normalizer-adjusted, 2026-08-20): the
+# per-tile fixed work — (1, F) frequency-constant builds and the
+# (C_TILE, 1) per-chain scalars — amortizes over twice the chains,
+# and resorted tiles stay depth-homogeneous enough that the coarser
+# dynamic-skip granularity (tile-max layer count over 16 chains)
+# costs less than the amortization buys.  64 wins the ISOLATED kernel
+# microbench by 38% on unsorted random models but only +1% end-to-end
+# (sorted production tiles lose more skip granularity); 128 regresses
+# outright (VMEM carry pressure).
+C_TILE = int(os.environ.get('BAYHUNTER_RF_CTILE', '16'))
+
+# Hoist the remaining per-chain frequency-independent scalars (direct-
+# arrival alignment time t0, free-surface displacement matrix hmat,
+# free-surface reflection nt) out of the kernel into one flat-
+# vectorized XLA computation, like the interface coefficients: in-
+# kernel they cost ~120 (C_TILE, 1)-shaped VPU ops per tile, each
+# wasting 127/128 lanes.  =0 restores the in-kernel computation (A/B
+# + parity tests).
+SCAL_XLA = os.environ.get('BAYHUNTER_RF_SCAL_XLA', '1') == '1'
 
 
 # ----------------------------------------------------------------------
@@ -247,7 +267,7 @@ def _displacement(p, vp, vs):
 # ----------------------------------------------------------------------
 
 def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
-                 coeff_xla, q_const, *refs):
+                 coeff_xla, q_const, scal_xla, *refs):
     if dynamic:
         top_ref, *refs = refs
     else:
@@ -260,6 +280,9 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         coef_ref, *refs = refs
     else:
         coef_ref = None
+    scal_ref = None
+    if scal_xla:
+        scal_ref, *refs = refs
     (h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
      czr_ref, czi_ref, crr_ref, cri_ref) = refs
     F = czr_ref.shape[-1]
@@ -274,16 +297,28 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     wref = 2.0 * jnp.pi * fref
     lgw = jnp.where(jf > 0, jnp.log(jnp.maximum(w, 1e-30) / wref), 0.0)
 
-    # direct-wave alignment time (halfspace h = -1 sentinel)
-    t0 = jnp.zeros_like(p)
-    for i in range(nl):
-        v = vp_ref[:, i:i + 1] if wave_type == 0 else vs_ref[:, i:i + 1]
-        qv = jnp.sqrt(jnp.maximum(1.0 / (v * v) - p * p, 0.0))
-        t0 = t0 + (-1.0 if i == nl - 1 else 1.0) \
-            * (1.0 if i == nl - 1 else h_ref[:, i:i + 1]) * qv
-    # (the halfspace contributes -1 * qv exactly as the h=-1 sentinel)
-
-    hmat = _displacement(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
+    if scal_ref is not None:
+        # per-chain frequency-independent scalars precomputed in XLA
+        # (chain_scalars_xla): [t0, hmat x8, nt x8]
+        def _sc(k):
+            return scal_ref[:, k:k + 1]
+        t0 = _sc(0)
+        hmat = tuple((_sc(1 + 2 * m), _sc(2 + 2 * m)) for m in range(4))
+        nt_surf = tuple((_sc(9 + 2 * m), _sc(10 + 2 * m))
+                        for m in range(4))
+    else:
+        # direct-wave alignment time (halfspace h = -1 sentinel)
+        t0 = jnp.zeros_like(p)
+        for i in range(nl):
+            v = vp_ref[:, i:i + 1] if wave_type == 0 \
+                else vs_ref[:, i:i + 1]
+            qv = jnp.sqrt(jnp.maximum(1.0 / (v * v) - p * p, 0.0))
+            t0 = t0 + (-1.0 if i == nl - 1 else 1.0) \
+                * (1.0 if i == nl - 1 else h_ref[:, i:i + 1]) * qv
+        # (the halfspace contributes -1 * qv exactly as the h=-1
+        # sentinel)
+        hmat = _displacement(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
+        nt_surf = None
 
     if q_const is not None:
         # UNIFORM-Q hoist: with one Q per wave type shared by every
@@ -408,7 +443,8 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     # layer 0 (free surface on top) always runs: n >= 2 guarantees a
     # real surface layer
     (rd_next, td_i, ru_next, tu_next), e1, e2 = layer_parts(0)
-    nt = _free_surface(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
+    nt = nt_surf if nt_surf is not None \
+        else _free_surface(p, vp_ref[:, 0:1], vs_ref[:, 0:1])
     e11 = _cmul(e1, e1)
     e12 = _cmul(e1, e2)
     e22 = _cmul(e2, e2)
@@ -523,6 +559,32 @@ def interface_coeffs_xla(p, vp, vs, rho):
     return packed.reshape(C, (nl - 1) * 32)
 
 
+def chain_scalars_xla(p, h, vp, vs, wave_type):
+    """Per-chain frequency-independent kernel scalars, vectorized in
+    XLA: [t0, hmat(8), nt(8)] packed as (C, 24) float32 (cols 17-23
+    pad).  t0 is the direct-arrival alignment time; hmat the free-
+    surface displacement matrix (Mueller eq. 89); nt the free-surface
+    P-SV reflection.  In-kernel these cost ~120 (C_TILE, 1)-shaped
+    VPU ops per tile, each wasting 127/128 lanes."""
+    C, nl = h.shape
+    v = vp if wave_type == 0 else vs
+    qv = jnp.sqrt(jnp.maximum(1.0 / (v * v) - (p * p)[:, None], 0.0))
+    sgn_h = jnp.concatenate(
+        [h[:, :-1], -jnp.ones((C, 1), h.dtype)], axis=1)
+    t0 = jnp.sum(sgn_h * qv, axis=1)
+
+    vp0, vs0 = vp[:, 0], vs[:, 0]
+    hmat = _displacement(p, vp0, vs0)
+    nt = _free_surface(p, vp0, vs0)
+    cols = [t0]
+    for m in hmat:
+        cols.extend(m)
+    for m in nt:
+        cols.extend(m)
+    cols.extend([jnp.zeros_like(t0)] * 7)
+    return jnp.stack(cols, axis=-1).astype(jnp.float32)
+
+
 def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                                  fsamp, wave_type=0, fref=1.0,
                                  nfreq_out=None, interpret=False):
@@ -571,6 +633,16 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                             memory_space=pltpu.VMEM)
 
     in_specs = [spec(nl)] * 6 + [spec(1)]
+    # named handles to the padded base arrays — the insert-at-0 logic
+    # below must not disturb positional references
+    h_a, vp_a, vs_a, rho_a, qp_a, qs_a, p_a = args
+
+    scal_xla = SCAL_XLA
+    if scal_xla:
+        scal = chain_scalars_xla(p_a[:, 0], h_a, vp_a, vs_a,
+                                 wave_type)
+        args.insert(0, scal)
+        in_specs.insert(0, spec(24))
 
     dyn = 'branch' if DYNAMIC_NL is True else DYNAMIC_NL
     coeff_xla = os.environ.get('BAYHUNTER_RF_COEFF_XLA', '1') == '1'
@@ -580,12 +652,13 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         # layer-major props block: lanes [h, vp, vs, qp, qs, pad x3,
         # 32 interface-coefficient components], rows = layers, so the
         # in-kernel dynamic-trip loop indexes the MAJOR dim only
-        coefs = interface_coeffs_xla(args[6][:, 0], args[1], args[2],
-                                     args[3])                # (Cp, (nl-1)*32)
+        coefs = interface_coeffs_xla(p_a[:, 0], vp_a, vs_a,
+                                     rho_a)                 # (Cp, (nl-1)*32)
         cf = jnp.concatenate(
             [coefs.reshape(Cp, nl - 1, 32),
              jnp.zeros((Cp, 1, 32), jnp.float32)], axis=1)  # (Cp, nl, 32)
-        base = jnp.stack(args[:3] + args[4:6], axis=-1)     # h vp vs qp qs
+        base = jnp.stack([h_a, vp_a, vs_a, qp_a, qs_a],
+                         axis=-1)                           # h vp vs qp qs
         props = jnp.concatenate(
             [base, jnp.zeros((Cp, nl, 3), jnp.float32), cf],
             axis=-1)                                        # (Cp, nl, 40)
@@ -596,8 +669,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
             (1, nl, C_TILE, 40), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
     elif coeff_xla:
-        coefs = interface_coeffs_xla(args[6][:, 0], args[1], args[2],
-                                     args[3])
+        coefs = interface_coeffs_xla(p_a[:, 0], vp_a, vs_a, rho_a)
         args.insert(0, coefs)
         in_specs.insert(0, spec((nl - 1) * 32))
 
@@ -608,7 +680,8 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         # still reflects).  The masked padding replicates the
         # halfspace with h=0 (ops/voronoi.py), so padded slots are
         # never "real"; per-tile max governs the kernel's branch.
-        hh, vpp, vss, rr, qpp, qss = args[-7:-1]
+        hh, vpp, vss, rr, qpp, qss = (h_a, vp_a, vs_a, rho_a,
+                                      qp_a, qs_a)
         real = ((hh[:, :-1] > 0.0)
                 | (vpp[:, :-1] != vpp[:, 1:])
                 | (vss[:, :-1] != vss[:, 1:])
@@ -625,7 +698,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
-                          dyn, coeff_xla, q_const),
+                          dyn, coeff_xla, q_const, scal_xla),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,

@@ -408,6 +408,53 @@ def test_rf_batch_dynamic_skip_multi_tile(mode):
                                atol=5e-5)
 
 
+@pytest.mark.parametrize('ctile,scal_xla', [(8, True), (16, False),
+                                            (64, True)])
+def test_rf_ctile_and_scalar_hoist_parity(ctile, scal_xla):
+    """The chain-tile width (BAYHUNTER_RF_CTILE) and the XLA hoist of
+    the per-chain scalars (t0 / free-surface matrices,
+    BAYHUNTER_RF_SCAL_XLA) are pure perf knobs: any combination must
+    reproduce the vmapped reference RF path on a multi-depth batch.
+    (16, hoist on) is the production default; (8, off) the round-2
+    configuration; (64) exercises multi-vreg tiles."""
+    import jax
+    from bayhunter_tpu.ops.rf import synrf, synrf_batch
+    rs = np.random.RandomState(5)
+    NL, C = 12, 64
+    H = np.zeros((C, NL), np.float32)
+    VS = np.zeros((C, NL), np.float32)
+    for i in range(C):
+        nlay = rs.randint(2, 4) if i < C // 2 else rs.randint(8, NL + 1)
+        H[i, :nlay - 1] = rs.uniform(2, 12, nlay - 1)
+        vv = np.sort(rs.uniform(2.5, 4.5, nlay))
+        VS[i] = vv[-1]
+        VS[i, :nlay] = vv
+    VP = VS * 1.73
+    RHO = VP * 0.32 + 0.77
+    QP = np.full((C, NL), 500., np.float32)
+    QS = np.full((C, NL), 225., np.float32)
+
+    from bayhunter_tpu.ops import pallas_rf
+    saved = pallas_rf.C_TILE, pallas_rf.SCAL_XLA
+    pallas_rf.C_TILE, pallas_rf.SCAL_XLA = ctile, scal_xla
+    try:
+        rf_b = synrf_batch(
+            jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+            jnp.asarray(RHO), jnp.asarray(QP), jnp.asarray(QS),
+            6.4, 1.0, 256, 5.0, 5.0, VS[:, 0],
+            np.full(C, 0.25, np.float32), interpret=True)
+    finally:
+        pallas_rf.C_TILE, pallas_rf.SCAL_XLA = saved
+    rf_v = jax.vmap(
+        lambda a, b, c, d, n: synrf(
+            a, b, c, d, jnp.asarray(QP[0]), jnp.asarray(QS[0]),
+            6.4, 1.0, 256, 5.0, 5.0, n, 0.25)[2])(
+        jnp.asarray(H), jnp.asarray(VP), jnp.asarray(VS),
+        jnp.asarray(RHO), jnp.asarray(VS[:, 0]))
+    np.testing.assert_allclose(np.asarray(rf_b), np.asarray(rf_v),
+                               atol=5e-5)
+
+
 @pytest.mark.parametrize('sched', ['4,2,2', '1', '4,2,', ''])
 def test_rf_block_schedule_parity(sched, monkeypatch):
     """The BAYHUNTER_RF_BLOCK comma schedule (non-uniform skip-block
