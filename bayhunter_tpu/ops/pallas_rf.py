@@ -267,7 +267,7 @@ def _displacement(p, vp, vs):
 # ----------------------------------------------------------------------
 
 def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
-                 coeff_xla, q_const, scal_xla, *refs):
+                 coeff_xla, q_const, scal_xla, coeff_order, *refs):
     if dynamic:
         top_ref, *refs = refs
     else:
@@ -394,6 +394,21 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         h_l = h_ref[:, i:i + 1]
         qp_l = qp_ref[:, i:i + 1]
         qs_l = qs_ref[:, i:i + 1]
+        if coef_ref is not None and coeff_order == 'comp':
+            # component-major lanes (k = comp*(nl-1) + layer): the
+            # packing in XLA is then a plain axis-1 stack straight
+            # into the dense (C, 640) operand layout — the old
+            # layer-major order forced a full-array relayout copy
+            # (~26 MB/step at 10,240 chains) between the stack and
+            # the kernel call
+            def cf(m, e, c):
+                k = (m * 8 + e * 2 + c) * (nl - 1) + i
+                return coef_ref[:, k:k + 1]
+            coeffs = tuple(
+                tuple((cf(m, e, 0), cf(m, e, 1)) for e in range(4))
+                for m in range(4))
+            e1, e2 = _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l)
+            return coeffs, e1, e2
         if coef_ref is not None:
             def cf(m, e, c):
                 k = i * 32 + m * 8 + e * 2 + c
@@ -517,7 +532,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     cri_ref[:] = cr[1]
 
 
-def interface_coeffs_xla(p, vp, vs, rho):
+def interface_coeffs_xla(p, vp, vs, rho, pack='layer'):
     """All welded-interface R/T coefficient tables of a layer stack,
     vectorized over (C, NL-1) in XLA.
 
@@ -553,6 +568,14 @@ def interface_coeffs_xla(p, vp, vs, rho):
             comps.append(jnp.broadcast_to(entry[0], (C * (nl - 1),)))
             comps.append(jnp.broadcast_to(entry[1], (C * (nl - 1),)))
     comps = jax.lax.optimization_barrier(tuple(comps))
+    if pack == 'comp':
+        # component-major lanes (k = comp*(NL-1) + layer): an axis-1
+        # stack of the 32 (C, NL-1) component planes lands directly
+        # in the dense (C, 640) row-major operand layout — no
+        # relayout between the stack and the kernel call
+        packed = jnp.stack([c.reshape(C, nl - 1) for c in comps],
+                           axis=1).astype(jnp.float32)
+        return packed.reshape(C, (nl - 1) * 32)
     # (C, NL-1, 32) -> (C, (NL-1)*32) with layer-major lanes
     packed = jnp.stack([c.reshape(C, nl - 1) for c in comps],
                        axis=-1).astype(jnp.float32)
@@ -648,6 +671,15 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     coeff_xla = os.environ.get('BAYHUNTER_RF_COEFF_XLA', '1') == '1'
     if dyn == 'loop' and not coeff_xla:
         dyn = 'branch'   # the loop path reads XLA-packed coefficients
+    # coefficient lane order.  'comp' (component-major) makes the XLA
+    # packing relayout-free but scatters each layer's 32 in-kernel
+    # loads across the full 640-lane stride — measured 18% SLOWER
+    # overall on-chip (3.76 vs 3.17 ms/call @10240, 2026-08-20):
+    # clustered layer-major lanes amortize into far cheaper VMEM
+    # reads than the one relayout copy costs.  'layer' stays the
+    # default; the knob documents the adjudicated dead end.
+    coeff_order = 'layer' if dyn == 'loop' else \
+        os.environ.get('BAYHUNTER_RF_COEFF_ORDER', 'layer')
     if dyn == 'loop':
         # layer-major props block: lanes [h, vp, vs, qp, qs, pad x3,
         # 32 interface-coefficient components], rows = layers, so the
@@ -669,7 +701,8 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
             (1, nl, C_TILE, 40), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
     elif coeff_xla:
-        coefs = interface_coeffs_xla(p_a[:, 0], vp_a, vs_a, rho_a)
+        coefs = interface_coeffs_xla(p_a[:, 0], vp_a, vs_a, rho_a,
+                                     pack=coeff_order)
         args.insert(0, coefs)
         in_specs.insert(0, spec((nl - 1) * 32))
 
@@ -698,7 +731,8 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
-                          dyn, coeff_xla, q_const, scal_xla),
+                          dyn, coeff_xla, q_const, scal_xla,
+                          coeff_order),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,
