@@ -21,7 +21,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-C_TILE = 8
+# Chains per program tile (sublane dim of the secular/walker blocks).
+# 8 = one f32 vreg of sublanes; 16 is the measured optimum end-to-end
+# (same per-tile fixed-work amortization that won the RF kernel +6.7%
+# at 16): on-chip @10,240-chain bench 2026-08-20, 8/16/32 =
+# 1.893M/2.007M/1.982M proposals/s (normalizer 149.0/155.5/156.3,
+# adjusted 12.70/12.90/12.68 per normalizer unit), reject classes
+# bit-flat (4.648/10.954) — the walker's coarser block early-exit at
+# 16 costs less than the amortization buys; 32 tips the other way.
+C_TILE = int(os.environ.get('BAYHUNTER_SWD_CTILE', '16'))
 
 # Dynamic layer-count skip (batch kernels): the masked model
 # representation pads h with EXACT zeros above the highest active
