@@ -245,6 +245,11 @@ def test_resort_chains_identical_outputs(tmp_path):
                       # are only guaranteed under equal segmentation
                       # (see optimizer segment_iters)
                       'segment_iters': 50,
+                      # per-step dispatch: the resort/perm contract is
+                      # dispatch-agnostic, and the fused-cycle programs
+                      # dominate this test's compile time (2 full
+                      # optimizer builds; was 345 s of a 57-min suite)
+                      'fused_cycles': False,
                       'resort_chains': resort}
         opt = MCMC_Optimizer(targets, initparams=initparams,
                              priors=priors, random_seed=9,

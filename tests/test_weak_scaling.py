@@ -67,7 +67,10 @@ def _cycle_costs(ndev, per_dev=16):
 
 
 def test_per_device_cycle_cost_is_mesh_invariant():
-    costs = {n: _cycle_costs(n) for n in (1, 2, 4, 8)}
+    # endpoints only in the suite (each mesh size pays a full problem
+    # build + compile; the 4-point 1/2/4/8 table of record, measured
+    # identical, is in VALIDATION.md "weak scaling")
+    costs = {n: _cycle_costs(n) for n in (1, 8)}
     f1, b1, p1, _ = costs[1]
     for n, (f, b, p, colls) in costs.items():
         assert colls == 0, ('hot-path cycle has collectives at '
