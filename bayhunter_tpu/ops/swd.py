@@ -821,6 +821,12 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
     # reductions instead of take_along_axis: per-row dynamic gathers
     # lower to a TPU gather custom call with a fixed multi-ms cost at
     # 10k chains, while the masked sums fuse into elementwise ops.
+    # The per-chain SCALAR tail (gtsolh's 5x~15-op Newton) then runs
+    # on FLAT (C,) arrays behind an optimization barrier: (C, 1)
+    # f32 tiles as T(8, 128) with 127/128 lanes dead, so the Newton
+    # chain alone was ~0.1 ms/solve at 10,240 chains (profiled as the
+    # largest single XLA-tail op of a production step) — flat 1-D
+    # arrays tile full lanes, ~100x fewer vregs per op.
     solid = b > 0.01
     cand = jnp.where(solid, b, a)
     jmn = jnp.argmin(cand, axis=-1, keepdims=True)
@@ -828,16 +834,15 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
     zero = jnp.zeros((), cand.dtype)
 
     def _pick(x):
-        return jnp.sum(jnp.where(at_mn, x, zero), axis=-1,
-                       keepdims=True)
+        return jnp.sum(jnp.where(at_mn, x, zero), axis=-1)   # (C,)
 
-    betmn = _pick(cand)
-    jsol = jnp.any(at_mn & solid, axis=-1, keepdims=True)
+    betmn, a_mn, b_mn, jsol = jax.lax.optimization_barrier(
+        (_pick(cand), _pick(a), _pick(b),
+         jnp.any(at_mn & solid, axis=-1).astype(cand.dtype)))
+    cc1 = jnp.where(jsol > 0.5, gtsolh(a_mn, b_mn), betmn)
+    cm = jax.lax.optimization_barrier(
+        (0.95 * 0.90 * cc1).astype(dtype))[:, None]   # (C, 1)
     betmx = jnp.max(b, axis=-1, keepdims=True)
-    a_mn = _pick(a)
-    b_mn = _pick(b)
-    cc1 = jnp.where(jsol, gtsolh(a_mn, b_mn), betmn)
-    cm = (0.95 * 0.90 * cc1).astype(dtype)            # (C, 1)
 
     def secular(wvno, omega):
         shape = wvno.shape                            # (C, ...)
