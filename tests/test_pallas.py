@@ -189,16 +189,23 @@ def test_pallas_secular_dynamic_layer_skip(mode):
     ref4 = jax.vmap(lambda w, o, d, a, b, r:
                     dltar4(w, o, d, a, b, r, jnp.asarray(False)))(
         jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
+    # value tolerance: identity (padded) layers renormalize by exactly
+    # 1 only AFTER some active layer has renormalized; the number of
+    # identity slots a chain executes is the TILE max layer count, so
+    # widening C_TILE (8 -> 16 default, round 3) lets small models in
+    # a deep tile accumulate a few more f32 roundings (observed
+    # 3.4e-6 on O(1) normalized values at 16).  Signs are exact; root
+    # accuracy is pinned separately (dual-threshold root parity).
     assert np.all(np.sign(np.asarray(out4)) == np.sign(np.asarray(ref4)))
     np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
-                               rtol=2e-5, atol=2e-6)
+                               rtol=1e-4, atol=1e-5)
 
     ref1 = jax.vmap(lambda w, o, d, a, b, r:
                     dltar1(w, o, d, a, b, r, jnp.asarray(False)))(
         jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
     assert np.all(np.sign(np.asarray(out1)) == np.sign(np.asarray(ref1)))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
-                               rtol=2e-5, atol=2e-6)
+                               rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize('igr', [0, 1])
