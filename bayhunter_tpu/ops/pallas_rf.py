@@ -267,7 +267,12 @@ def _displacement(p, vp, vs):
 # ----------------------------------------------------------------------
 
 def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
-                 coeff_xla, q_const, scal_xla, coeff_order, *refs):
+                 coeff_xla, q_const, scal_xla, coeff_order, revg,
+                 *refs):
+    if revg:
+        *refs, eq_ref = refs
+    else:
+        eq_ref = None
     if dynamic:
         top_ref, *refs = refs
     else:
@@ -424,6 +429,25 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         e1, e2 = _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l)
         return coeffs, e1, e2
 
+    def _stash_eq(i, eq):
+        """Write layer i's eq matrix (4 complex = 8 planes) to the
+        VMEM stash for the reverse column pass (revg mode)."""
+        for k, plane in enumerate(
+                (eq[0][0], eq[0][1], eq[1][0], eq[1][1],
+                 eq[2][0], eq[2][1], eq[3][0], eq[3][1])):
+            eq_ref[i, k] = plane
+
+    def _load_eq(i):
+        m = [(eq_ref[i, 2 * k], eq_ref[i, 2 * k + 1])
+             for k in range(4)]
+        return tuple(m)
+
+    def _mv(A, wv):
+        """2x2 complex matrix times 2-vector."""
+        a11, a12, a21, a22 = A
+        return (_cadd(_cmul(a11, wv[0]), _cmul(a12, wv[1])),
+                _cadd(_cmul(a21, wv[0]), _cmul(a22, wv[1])))
+
     def layer_step(i, carry):
         """Layers 1..nl-2: advance (x = nb q, g, ru, td_prev).
 
@@ -431,8 +455,18 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         the recursion carries x = nb q instead — same multiply count
         (one m4mul moves from nt to x), but the lax.cond / fori carry
         shrinks from 24 to 16 (8, F) arrays, which is where the
-        dynamic-skip overhead lives (see the mode note at the top)."""
-        x, g, ru, td_prev = carry
+        dynamic-skip overhead lives (see the mode note at the top).
+
+        revg mode: only COLUMN ``col`` of the accumulated
+        g = eq_0 eq_1 ... eq_last is ever consumed (t = hmat g picks
+        one column), so instead of the g m4mul (8 cmul/layer) each
+        eq is stashed in VMEM and a reverse pass applies the chain to
+        a 2-VECTOR (4 cmul/layer); the skip-cond carry also shrinks
+        16 -> 12 planes."""
+        if eq_ref is not None:
+            x, ru, td_prev = carry
+        else:
+            x, g, ru, td_prev = carry
         (rd_next, td_i, ru_next, tu_next), e1, e2 = layer_parts(i)
 
         # nt = ru + td_i-1 (nb q)
@@ -453,6 +487,9 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         # g = g (e q)
         eq = (_cmul(e1, q[0]), _cmul(e1, q[1]),
               _cmul(e2, q[2]), _cmul(e2, q[3]))
+        if eq_ref is not None:
+            _stash_eq(i, eq)
+            return _m4mul(nb, q), ru_next, td_i
         return _m4mul(nb, q), _m4mul(g, eq), ru_next, td_i
 
     # layer 0 (free surface on top) always runs: n >= 2 guarantees a
@@ -469,7 +506,11 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     q = _m4mul(_m4inv_of_eye_minus(K), tu_next)
     g = (_cmul(e1, q[0]), _cmul(e1, q[1]),
          _cmul(e2, q[2]), _cmul(e2, q[3]))
-    carry = (_m4mul(nb, q), g, ru_next, td_i)
+    if eq_ref is not None:
+        _stash_eq(0, g)
+        carry = (_m4mul(nb, q), ru_next, td_i)
+    else:
+        carry = (_m4mul(nb, q), g, ru_next, td_i)
 
     # deeper layers: skippable per tile once inside the padding region
     # (identical media, zero thickness -> rd=0, tu=I, e=1: g invariant)
@@ -500,26 +541,58 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
                  os.environ.get('BAYHUNTER_RF_BLOCK', '4').split(',')
                  if w.strip()] or [4]
         top = top_ref[pl.program_id(0), 0]
+        blocks = []
         b, nblk = 1, 0
         while b < nl - 1:
             blk = sched[min(nblk, len(sched) - 1)]
             nblk += 1
             hi = min(b + blk, nl - 1)
-
+            blocks.append((b, hi))
+            b = hi
+        for b, hi in blocks:
             def run_block(c, b=b, hi=hi):
                 for i in range(b, hi):
                     c = layer_step(i, c)
                 return c
             carry = jax.lax.cond(b <= top, run_block,
                                  lambda c: c, carry)
-            b = hi
-    g = carry[1]
 
-    # t = 2 h g ; pick the column of the incident wave
-    t_full = _m4mul(hmat, g)
     col = 0 if wave_type == 0 else 1
-    cr = _cscale(2.0, t_full[0 + col])      # row 0
-    cz = _cscale(2.0, t_full[2 + col])      # row 1
+    if eq_ref is not None:
+        # reverse column pass: w = eq_i w from the deepest executed
+        # layer back to the surface, mirroring the forward skip
+        # structure (skipped blocks stashed nothing and their eq is
+        # the identity, so skipping them in reverse is exact)
+        one = jnp.ones_like(w * t0)
+        zero_v = jnp.zeros_like(one)
+        wv = ((one, zero_v), (zero_v, zero_v)) if col == 0 \
+            else ((zero_v, zero_v), (one, zero_v))
+
+        def rev_block(wv, b, hi):
+            for i in range(hi - 1, b - 1, -1):
+                wv = _mv(_load_eq(i), wv)
+            return wv
+
+        if top_ref is None:
+            wv = rev_block(wv, 1, nl - 1)
+        else:
+            for b, hi in reversed(blocks):
+                wv = jax.lax.cond(
+                    b <= top,
+                    lambda v, b=b, hi=hi: rev_block(v, b, hi),
+                    lambda v: v, wv)
+        wv = _mv(_load_eq(0), wv)
+        # t = 2 h w
+        cr = _cscale(2.0, _cadd(_cmul(hmat[0], wv[0]),
+                                _cmul(hmat[1], wv[1])))
+        cz = _cscale(2.0, _cadd(_cmul(hmat[2], wv[0]),
+                                _cmul(hmat[3], wv[1])))
+    else:
+        g = carry[1]
+        # t = 2 h g ; pick the column of the incident wave
+        t_full = _m4mul(hmat, g)
+        cr = _cscale(2.0, t_full[0 + col])      # row 0
+        cz = _cscale(2.0, t_full[2 + col])      # row 1
 
     # alignment phase exp(+i w t0)
     qq = _cexp((jnp.zeros_like(w * t0), w * t0))
@@ -680,6 +753,17 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     # default; the knob documents the adjudicated dead end.
     coeff_order = 'layer' if dyn == 'loop' else \
         os.environ.get('BAYHUNTER_RF_COEFF_ORDER', 'layer')
+    # reverse column pass (see layer_step docstring): stash eq in a
+    # VMEM scratch and apply the chain to a 2-vector instead of
+    # carrying the g m4mul through the recursion.  Static and
+    # 'branch' modes only (the 'loop' mode's dynamic-trip fori would
+    # need a second reverse fori; not implemented).  Adjudicated a
+    # WASH on-chip (3.248 vs 3.243 ms/call @10,240, 2026-08-20): the
+    # 4 saved cmuls/layer are repaid by the 8 stash stores + 8 loads
+    # and the reverse pass's own cond chain — kept as a measured A/B
+    # arm, default off.
+    revg = (dyn != 'loop'
+            and os.environ.get('BAYHUNTER_RF_REVG', '0') == '1')
     if dyn == 'loop':
         # layer-major props block: lanes [h, vp, vs, qp, qs, pad x3,
         # 32 interface-coefficient components], rows = layers, so the
@@ -732,11 +816,13 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
                           dyn, coeff_xla, q_const, scal_xla,
-                          coeff_order),
+                          coeff_order, revg),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,
         out_specs=[spec(F)] * 4,
+        scratch_shapes=([pltpu.VMEM((nl, 8, C_TILE, F), jnp.float32)]
+                        if revg else []),
         interpret=interpret,
     )(*args)
     czr, czi, crr, cri = (o[:C, :nfreq] for o in outs)
