@@ -270,6 +270,8 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
                  coeff_xla, q_const, scal_xla, coeff_order, revg,
                  *refs):
     if revg:
+        assert dynamic != 'loop', \
+            'revg has no reverse dynamic-trip loop implementation'
         *refs, eq_ref = refs
     else:
         eq_ref = None

@@ -415,15 +415,20 @@ def test_rf_batch_dynamic_skip_multi_tile(mode):
                                atol=5e-5)
 
 
-@pytest.mark.parametrize('ctile,scal_xla', [(8, True), (16, False),
-                                            (64, True)])
-def test_rf_ctile_and_scalar_hoist_parity(ctile, scal_xla):
-    """The chain-tile width (BAYHUNTER_RF_CTILE) and the XLA hoist of
+@pytest.mark.parametrize('ctile,scal_xla,revg',
+                         [(8, True, False), (16, False, False),
+                          (64, True, False), (16, True, True)])
+def test_rf_ctile_and_scalar_hoist_parity(ctile, scal_xla, revg,
+                                          monkeypatch):
+    """The chain-tile width (BAYHUNTER_RF_CTILE), the XLA hoist of
     the per-chain scalars (t0 / free-surface matrices,
-    BAYHUNTER_RF_SCAL_XLA) are pure perf knobs: any combination must
-    reproduce the vmapped reference RF path on a multi-depth batch.
-    (16, hoist on) is the production default; (8, off) the round-2
-    configuration; (64) exercises multi-vreg tiles."""
+    BAYHUNTER_RF_SCAL_XLA), and the reverse-column pass
+    (BAYHUNTER_RF_REVG, measured-wash A/B arm) are pure perf knobs:
+    any combination must reproduce the vmapped reference RF path on a
+    multi-depth batch.  (16, hoist on) is the production default;
+    (8, off) the round-2 configuration; (64) exercises multi-vreg
+    tiles."""
+    monkeypatch.setenv('BAYHUNTER_RF_REVG', '1' if revg else '0')
     import jax
     from bayhunter_tpu.ops.rf import synrf, synrf_batch
     rs = np.random.RandomState(5)
