@@ -52,7 +52,9 @@ DYNAMIC_NL = {'0': None, '1': 'branch', 'branch': 'branch',
 # microbench by 38% on unsorted random models but only +1% end-to-end
 # (sorted production tiles lose more skip granularity); 128 regresses
 # outright (VMEM carry pressure).
-C_TILE = int(os.environ.get('BAYHUNTER_RF_CTILE', '16'))
+from bayhunter_tpu.ops.pallas_secular import _parse_ctile
+
+C_TILE = _parse_ctile('BAYHUNTER_RF_CTILE', '16')
 
 # Hoist the remaining per-chain frequency-independent scalars (direct-
 # arrival alignment time t0, free-surface displacement matrix hmat,
@@ -267,14 +269,7 @@ def _displacement(p, vp, vs):
 # ----------------------------------------------------------------------
 
 def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
-                 coeff_xla, q_const, scal_xla, coeff_order, revg,
-                 *refs):
-    if revg:
-        assert dynamic != 'loop', \
-            'revg has no reverse dynamic-trip loop implementation'
-        *refs, eq_ref = refs
-    else:
-        eq_ref = None
+                 coeff_xla, q_const, scal_xla, *refs):
     if dynamic:
         top_ref, *refs = refs
     else:
@@ -401,21 +396,6 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         h_l = h_ref[:, i:i + 1]
         qp_l = qp_ref[:, i:i + 1]
         qs_l = qs_ref[:, i:i + 1]
-        if coef_ref is not None and coeff_order == 'comp':
-            # component-major lanes (k = comp*(nl-1) + layer): the
-            # packing in XLA is then a plain axis-1 stack straight
-            # into the dense (C, 640) operand layout — the old
-            # layer-major order forced a full-array relayout copy
-            # (~26 MB/step at 10,240 chains) between the stack and
-            # the kernel call
-            def cf(m, e, c):
-                k = (m * 8 + e * 2 + c) * (nl - 1) + i
-                return coef_ref[:, k:k + 1]
-            coeffs = tuple(
-                tuple((cf(m, e, 0), cf(m, e, 1)) for e in range(4))
-                for m in range(4))
-            e1, e2 = _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l)
-            return coeffs, e1, e2
         if coef_ref is not None:
             def cf(m, e, c):
                 k = i * 32 + m * 8 + e * 2 + c
@@ -431,25 +411,6 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         e1, e2 = _phase_pair(vp_l, vs_l, h_l, qp_l, qs_l)
         return coeffs, e1, e2
 
-    def _stash_eq(i, eq):
-        """Write layer i's eq matrix (4 complex = 8 planes) to the
-        VMEM stash for the reverse column pass (revg mode)."""
-        for k, plane in enumerate(
-                (eq[0][0], eq[0][1], eq[1][0], eq[1][1],
-                 eq[2][0], eq[2][1], eq[3][0], eq[3][1])):
-            eq_ref[i, k] = plane
-
-    def _load_eq(i):
-        m = [(eq_ref[i, 2 * k], eq_ref[i, 2 * k + 1])
-             for k in range(4)]
-        return tuple(m)
-
-    def _mv(A, wv):
-        """2x2 complex matrix times 2-vector."""
-        a11, a12, a21, a22 = A
-        return (_cadd(_cmul(a11, wv[0]), _cmul(a12, wv[1])),
-                _cadd(_cmul(a21, wv[0]), _cmul(a22, wv[1])))
-
     def layer_step(i, carry):
         """Layers 1..nl-2: advance (x = nb q, g, ru, td_prev).
 
@@ -457,18 +418,8 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         the recursion carries x = nb q instead — same multiply count
         (one m4mul moves from nt to x), but the lax.cond / fori carry
         shrinks from 24 to 16 (8, F) arrays, which is where the
-        dynamic-skip overhead lives (see the mode note at the top).
-
-        revg mode: only COLUMN ``col`` of the accumulated
-        g = eq_0 eq_1 ... eq_last is ever consumed (t = hmat g picks
-        one column), so instead of the g m4mul (8 cmul/layer) each
-        eq is stashed in VMEM and a reverse pass applies the chain to
-        a 2-VECTOR (4 cmul/layer); the skip-cond carry also shrinks
-        16 -> 12 planes."""
-        if eq_ref is not None:
-            x, ru, td_prev = carry
-        else:
-            x, g, ru, td_prev = carry
+        dynamic-skip overhead lives (see the mode note at the top)."""
+        x, g, ru, td_prev = carry
         (rd_next, td_i, ru_next, tu_next), e1, e2 = layer_parts(i)
 
         # nt = ru + td_i-1 (nb q)
@@ -489,9 +440,6 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         # g = g (e q)
         eq = (_cmul(e1, q[0]), _cmul(e1, q[1]),
               _cmul(e2, q[2]), _cmul(e2, q[3]))
-        if eq_ref is not None:
-            _stash_eq(i, eq)
-            return _m4mul(nb, q), ru_next, td_i
         return _m4mul(nb, q), _m4mul(g, eq), ru_next, td_i
 
     # layer 0 (free surface on top) always runs: n >= 2 guarantees a
@@ -508,11 +456,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     q = _m4mul(_m4inv_of_eye_minus(K), tu_next)
     g = (_cmul(e1, q[0]), _cmul(e1, q[1]),
          _cmul(e2, q[2]), _cmul(e2, q[3]))
-    if eq_ref is not None:
-        _stash_eq(0, g)
-        carry = (_m4mul(nb, q), ru_next, td_i)
-    else:
-        carry = (_m4mul(nb, q), g, ru_next, td_i)
+    carry = (_m4mul(nb, q), g, ru_next, td_i)
 
     # deeper layers: skippable per tile once inside the padding region
     # (identical media, zero thickness -> rd=0, tu=I, e=1: g invariant)
@@ -560,41 +504,11 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
                                  lambda c: c, carry)
 
     col = 0 if wave_type == 0 else 1
-    if eq_ref is not None:
-        # reverse column pass: w = eq_i w from the deepest executed
-        # layer back to the surface, mirroring the forward skip
-        # structure (skipped blocks stashed nothing and their eq is
-        # the identity, so skipping them in reverse is exact)
-        one = jnp.ones_like(w * t0)
-        zero_v = jnp.zeros_like(one)
-        wv = ((one, zero_v), (zero_v, zero_v)) if col == 0 \
-            else ((zero_v, zero_v), (one, zero_v))
-
-        def rev_block(wv, b, hi):
-            for i in range(hi - 1, b - 1, -1):
-                wv = _mv(_load_eq(i), wv)
-            return wv
-
-        if top_ref is None:
-            wv = rev_block(wv, 1, nl - 1)
-        else:
-            for b, hi in reversed(blocks):
-                wv = jax.lax.cond(
-                    b <= top,
-                    lambda v, b=b, hi=hi: rev_block(v, b, hi),
-                    lambda v: v, wv)
-        wv = _mv(_load_eq(0), wv)
-        # t = 2 h w
-        cr = _cscale(2.0, _cadd(_cmul(hmat[0], wv[0]),
-                                _cmul(hmat[1], wv[1])))
-        cz = _cscale(2.0, _cadd(_cmul(hmat[2], wv[0]),
-                                _cmul(hmat[3], wv[1])))
-    else:
-        g = carry[1]
-        # t = 2 h g ; pick the column of the incident wave
-        t_full = _m4mul(hmat, g)
-        cr = _cscale(2.0, t_full[0 + col])      # row 0
-        cz = _cscale(2.0, t_full[2 + col])      # row 1
+    g = carry[1]
+    # t = 2 h g ; pick the column of the incident wave
+    t_full = _m4mul(hmat, g)
+    cr = _cscale(2.0, t_full[0 + col])      # row 0
+    cz = _cscale(2.0, t_full[2 + col])      # row 1
 
     # alignment phase exp(+i w t0)
     qq = _cexp((jnp.zeros_like(w * t0), w * t0))
@@ -607,7 +521,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
     cri_ref[:] = cr[1]
 
 
-def interface_coeffs_xla(p, vp, vs, rho, pack='layer'):
+def interface_coeffs_xla(p, vp, vs, rho):
     """All welded-interface R/T coefficient tables of a layer stack,
     vectorized over (C, NL-1) in XLA.
 
@@ -643,15 +557,10 @@ def interface_coeffs_xla(p, vp, vs, rho, pack='layer'):
             comps.append(jnp.broadcast_to(entry[0], (C * (nl - 1),)))
             comps.append(jnp.broadcast_to(entry[1], (C * (nl - 1),)))
     comps = jax.lax.optimization_barrier(tuple(comps))
-    if pack == 'comp':
-        # component-major lanes (k = comp*(NL-1) + layer): an axis-1
-        # stack of the 32 (C, NL-1) component planes lands directly
-        # in the dense (C, 640) row-major operand layout — no
-        # relayout between the stack and the kernel call
-        packed = jnp.stack([c.reshape(C, nl - 1) for c in comps],
-                           axis=1).astype(jnp.float32)
-        return packed.reshape(C, (nl - 1) * 32)
-    # (C, NL-1, 32) -> (C, (NL-1)*32) with layer-major lanes
+    # (C, NL-1, 32) -> (C, (NL-1)*32) with layer-major lanes.
+    # (Component-major lanes — a relayout-free pack — were tried and
+    # adjudicated 18% SLOWER on-chip: scattered in-kernel VMEM loads
+    # cost more than the one relayout copy; docs/performance.md.)
     packed = jnp.stack([c.reshape(C, nl - 1) for c in comps],
                        axis=-1).astype(jnp.float32)
     return packed.reshape(C, (nl - 1) * 32)
@@ -746,26 +655,6 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     coeff_xla = os.environ.get('BAYHUNTER_RF_COEFF_XLA', '1') == '1'
     if dyn == 'loop' and not coeff_xla:
         dyn = 'branch'   # the loop path reads XLA-packed coefficients
-    # coefficient lane order.  'comp' (component-major) makes the XLA
-    # packing relayout-free but scatters each layer's 32 in-kernel
-    # loads across the full 640-lane stride — measured 18% SLOWER
-    # overall on-chip (3.76 vs 3.17 ms/call @10240, 2026-08-20):
-    # clustered layer-major lanes amortize into far cheaper VMEM
-    # reads than the one relayout copy costs.  'layer' stays the
-    # default; the knob documents the adjudicated dead end.
-    coeff_order = 'layer' if dyn == 'loop' else \
-        os.environ.get('BAYHUNTER_RF_COEFF_ORDER', 'layer')
-    # reverse column pass (see layer_step docstring): stash eq in a
-    # VMEM scratch and apply the chain to a 2-vector instead of
-    # carrying the g m4mul through the recursion.  Static and
-    # 'branch' modes only (the 'loop' mode's dynamic-trip fori would
-    # need a second reverse fori; not implemented).  Adjudicated a
-    # WASH on-chip (3.248 vs 3.243 ms/call @10,240, 2026-08-20): the
-    # 4 saved cmuls/layer are repaid by the 8 stash stores + 8 loads
-    # and the reverse pass's own cond chain — kept as a measured A/B
-    # arm, default off.
-    revg = (dyn != 'loop'
-            and os.environ.get('BAYHUNTER_RF_REVG', '0') == '1')
     if dyn == 'loop':
         # layer-major props block: lanes [h, vp, vs, qp, qs, pad x3,
         # 32 interface-coefficient components], rows = layers, so the
@@ -787,8 +676,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
             (1, nl, C_TILE, 40), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
     elif coeff_xla:
-        coefs = interface_coeffs_xla(p_a[:, 0], vp_a, vs_a, rho_a,
-                                     pack=coeff_order)
+        coefs = interface_coeffs_xla(p_a[:, 0], vp_a, vs_a, rho_a)
         args.insert(0, coefs)
         in_specs.insert(0, spec((nl - 1) * 32))
 
@@ -817,14 +705,11 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
-                          dyn, coeff_xla, q_const, scal_xla,
-                          coeff_order, revg),
+                          dyn, coeff_xla, q_const, scal_xla),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,
         out_specs=[spec(F)] * 4,
-        scratch_shapes=([pltpu.VMEM((nl, 8, C_TILE, F), jnp.float32)]
-                        if revg else []),
         interpret=interpret,
     )(*args)
     czr, czi, crr, cri = (o[:C, :nfreq] for o in outs)

@@ -29,7 +29,25 @@ from jax.experimental.pallas import tpu as pltpu
 # adjusted 12.70/12.90/12.68 per normalizer unit), reject classes
 # bit-flat (4.648/10.954) — the walker's coarser block early-exit at
 # 16 costs less than the amortization buys; 32 tips the other way.
-C_TILE = int(os.environ.get('BAYHUNTER_SWD_CTILE', '16'))
+def _parse_ctile(env_name, default):
+    """Chain-tile env override, validated at import: Mosaic block
+    shapes need a positive multiple of 8 (the f32 sublane tile) —
+    anything else fails deep in layout inference with an opaque
+    error, so reject it here with an actionable one."""
+    raw = os.environ.get(env_name, default)
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f'{env_name}={raw!r}: must be an integer') from None
+    if val <= 0 or val % 8 != 0:
+        raise ValueError(
+            f'{env_name}={val}: chain tile must be a positive '
+            f'multiple of 8 (f32 sublane tile)')
+    return val
+
+
+C_TILE = _parse_ctile('BAYHUNTER_SWD_CTILE', '16')
 
 # Dynamic layer-count skip (batch kernels): the masked model
 # representation pads h with EXACT zeros above the highest active

@@ -208,6 +208,9 @@ def main():
             hbm_gb = round(peak / 2 ** 30, 3)
     except Exception:
         pass
+    dim_proposed = int(pp[:, 2].sum())
+    dim_reject_pct = (100.0 * ff[:, 2].sum() / dim_proposed
+                      if dim_proposed else None)
     print(json.dumps({
         'metric': 'joint SWD+RF McMC proposal throughput '
                   '(%d chains, 1 chip)' % NCHAINS,
@@ -222,15 +225,18 @@ def main():
             # % of valid proposals; slot 2 = birth/death
             'fwd_reject_pct': round(
                 100.0 * ff.sum() / max(pp.sum(), 1), 3),
-            'fwd_reject_dim_pct': round(
-                100.0 * ff[:, 2].sum() / max(pp[:, 2].sum(), 1), 3),
+            'fwd_reject_dim_pct': (
+                None if dim_reject_pct is None
+                else round(dim_reject_pct, 3)),
             # regression band for the dim-move reject class (measured
             # 10.5-11% across rounds 2-3; tests/test_dim_reject_pin.py
             # pins the CPU equivalent) — a throughput cut that bends
-            # the transition kernel shows up as False here
-            'fwd_reject_dim_in_band': bool(
-                0.0 < 100.0 * ff[:, 2].sum()
-                / max(pp[:, 2].sum(), 1) < 12.5),
+            # the transition kernel shows up as False here.  None =
+            # no dim proposals in this (smoke-length) run: no data,
+            # not a band violation.
+            'fwd_reject_dim_in_band': (
+                None if dim_reject_pct is None
+                else bool(0.0 < dim_reject_pct < 12.5)),
             'peak_hbm_gb': hbm_gb,
         },
     }))

@@ -194,18 +194,24 @@ def test_pallas_secular_dynamic_layer_skip(mode):
     # identity slots a chain executes is the TILE max layer count, so
     # widening C_TILE (8 -> 16 default, round 3) lets small models in
     # a deep tile accumulate a few more f32 roundings (observed
-    # 3.4e-6 on O(1) normalized values at 16).  Signs are exact; root
-    # accuracy is pinned separately (dual-threshold root parity).
+    # 3.4e-6 on O(1) normalized values at 16).  The tolerance scales
+    # with the ACTIVE tile width so the original 8-wide bound stays
+    # pinned where it held.  Signs are exact; root accuracy is pinned
+    # separately (dual-threshold root parity).
+    if pallas_secular.C_TILE <= 8:
+        rtol, atol = 2e-5, 2e-6
+    else:
+        rtol, atol = 1e-4, 1e-5
     assert np.all(np.sign(np.asarray(out4)) == np.sign(np.asarray(ref4)))
     np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=rtol, atol=atol)
 
     ref1 = jax.vmap(lambda w, o, d, a, b, r:
                     dltar1(w, o, d, a, b, r, jnp.asarray(False)))(
         jnp.asarray(wv), jnp.asarray(om), D, A, B, R)
     assert np.all(np.sign(np.asarray(out1)) == np.sign(np.asarray(ref1)))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=rtol, atol=atol)
 
 
 @pytest.mark.parametrize('igr', [0, 1])
@@ -415,20 +421,15 @@ def test_rf_batch_dynamic_skip_multi_tile(mode):
                                atol=5e-5)
 
 
-@pytest.mark.parametrize('ctile,scal_xla,revg',
-                         [(8, True, False), (16, False, False),
-                          (64, True, False), (16, True, True)])
-def test_rf_ctile_and_scalar_hoist_parity(ctile, scal_xla, revg,
-                                          monkeypatch):
-    """The chain-tile width (BAYHUNTER_RF_CTILE), the XLA hoist of
+@pytest.mark.parametrize('ctile,scal_xla',
+                         [(8, True), (16, False), (64, True)])
+def test_rf_ctile_and_scalar_hoist_parity(ctile, scal_xla):
+    """The chain-tile width (BAYHUNTER_RF_CTILE) and the XLA hoist of
     the per-chain scalars (t0 / free-surface matrices,
-    BAYHUNTER_RF_SCAL_XLA), and the reverse-column pass
-    (BAYHUNTER_RF_REVG, measured-wash A/B arm) are pure perf knobs:
-    any combination must reproduce the vmapped reference RF path on a
-    multi-depth batch.  (16, hoist on) is the production default;
-    (8, off) the round-2 configuration; (64) exercises multi-vreg
-    tiles."""
-    monkeypatch.setenv('BAYHUNTER_RF_REVG', '1' if revg else '0')
+    BAYHUNTER_RF_SCAL_XLA) are pure perf knobs: any combination must
+    reproduce the vmapped reference RF path on a multi-depth batch.
+    (16, hoist on) is the production default; (8, off) the round-2
+    configuration; (64) exercises multi-vreg tiles."""
     import jax
     from bayhunter_tpu.ops.rf import synrf, synrf_batch
     rs = np.random.RandomState(5)

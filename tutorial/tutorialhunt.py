@@ -68,6 +68,18 @@ initparams.update({'nchains': 21,
                    'iter_burnin': (2048 * 16),
                    'iter_main': (2048 * 8),
                    'propdist': (0.025, 0.025, 0.015, 0.005, 0.005),
+                   # RECOMMENDED primary configuration: the exact
+                   # truncated-subspace Gaussian law.  The rcond-
+                   # truncated parity law (the library default,
+                   # gauss_dof_correction=False) reproduces the
+                   # reference's sigma_RF bias — sigma MLE =
+                   # sqrt(k/n)*sigma, ~0.55x injected here — and the
+                   # over-parametrized layer-count mode that feeds on
+                   # it; the corrected law recovers the injected
+                   # sigma_RF and the reference's DOCUMENTED 5-6
+                   # layer posterior family (A/B matrix:
+                   # VALIDATION.md, scripts/ab_layer_posterior.py).
+                   'gauss_dof_correction': True,
                    'savepath': op.join(here, 'results')})
 
 # --------------------------------------------------------------- inversion
