@@ -45,6 +45,17 @@ EARTH_R = 6371.0          # model.cpp:167 (note: 6371, not surf96's 6370)
 DEG_PER_KM = 0.00899      # wrap.cpp:55
 P_WAVE, SV_WAVE, SH_WAVE = 0, 1, 2
 
+# solver option flags (synrf.h:52-53).  SUPPRESS_MULTIPLES drops the
+# reverberation operator from the top-down recursion — with default-
+# zero nb (cmat2.h default ctor) the reference's greens.cpp:212-216
+# reduces the response to the pure direct downward transmission
+# g = prod_i e_i tu_{i+1}.  WITHOUT_ANELASTICITY is DORMANT in the
+# reference (defined, never consumed in greens.cpp); here it applies
+# the documented intent — real elastic velocities in the phase
+# matrices (the Q -> inf limit of Mueller eq. 132).
+SUPPRESS_MULTIPLES = 1
+WITHOUT_ANELASTICITY = 2
+
 
 # ----------------------------------------------------------------------
 # small complex 2x2 helpers — matrices stored as (..., 2, 2)
@@ -297,10 +308,13 @@ def rho_vp(vp):
 # ----------------------------------------------------------------------
 
 def _transmission_response(h, vp, vs, rho, qp, qs, slowness, nsamp, fsamp,
-                           wave_type, fref, cdtype):
+                           wave_type, fref, cdtype, options=0):
     """Per-frequency (cz, cr) transmission responses of the flattened
     stack — port of ``calcresp_core`` (greens.cpp:400-683) without the
     partial-derivative branches.  Frequency axis fully vectorized.
+    ``options`` is a static bitmask of SUPPRESS_MULTIPLES /
+    WITHOUT_ANELASTICITY (synrf.h:52-53; see the flag notes at the
+    top of this module).
     """
     nl = h.shape[-1]
     nfreq = nsamp // 2 + 1
@@ -339,10 +353,18 @@ def _transmission_response(h, vp, vs, rho, qp, qs, slowness, nsamp, fsamp,
     # complex anelastic velocities & phase matrices, Mueller eq. 132
     # (greens.cpp:536-548): e[i] = diag(exp(-iwd*q_p), exp(-iwd*q_s))
     ii = jnp.asarray(1j, cdtype)
-    vpc = vp[None, :] * (1.0 + lgw[:, None] / (jnp.pi * qp[None, :])
-                         + ii / (2.0 * qp[None, :]))
-    vsc = vs[None, :] * (1.0 + lgw[:, None] / (jnp.pi * qs[None, :])
-                         + ii / (2.0 * qs[None, :]))
+    if options & WITHOUT_ANELASTICITY:
+        # elastic phase matrices: real velocities (Q -> inf), still
+        # complex vertical slowness for evanescent waves
+        vpc = jnp.broadcast_to(vp[None, :].astype(cdtype),
+                               (nfreq, nl))
+        vsc = jnp.broadcast_to(vs[None, :].astype(cdtype),
+                               (nfreq, nl))
+    else:
+        vpc = vp[None, :] * (1.0 + lgw[:, None] / (jnp.pi * qp[None, :])
+                             + ii / (2.0 * qp[None, :]))
+        vsc = vs[None, :] * (1.0 + lgw[:, None] / (jnp.pi * qs[None, :])
+                             + ii / (2.0 * qs[None, :]))
     plc = jnp.sqrt(1.0 / (vpc * vpc) - p2)                # (F, NL)
     slc = jnp.sqrt(1.0 / (vsc * vsc) - p2)
     miwd = -ii * (w[:, None] * h[None, :]).astype(cdtype)
@@ -404,10 +426,27 @@ def _transmission_response(h, vp, vs, rho, qp, qs, slowness, nsamp, fsamp,
                  jnp.where(first, eq[3], gq[3]))
         return (nb, q_new, g_new), None
 
+    def step_suppress(g, xs):
+        """SUPPRESS_MULTIPLES recursion (greens.cpp:212-216 with
+        default-zero nb): nt collapses to 0, q = tu, so
+        g = prod_i e_i tu_{i+1} — the pure direct downward
+        transmission with no reverberations."""
+        _, _, tu_n, _, e_m, first = xs
+        tu4 = as4(tu_n)
+        e1, e2 = e_m[..., 0], e_m[..., 1]
+        eq = (e1 * tu4[0], e1 * tu4[1], e2 * tu4[2], e2 * tu4[3])
+        gq = mul4(g, eq)
+        g_new = tuple(jnp.where(first, eq[k], gq[k])
+                      for k in range(4))
+        return g_new, None
+
     xs = (ru[:-1], rd[1:], tu[1:], td[:-1],
           jnp.moveaxis(e_diag, 1, 0)[:-1],
           jnp.arange(nl - 1) == 0)
-    (_, _, g), _ = lax.scan(step, (eye4, eye4, eye4), xs)
+    if options & SUPPRESS_MULTIPLES:
+        g, _ = lax.scan(step_suppress, eye4, xs)
+    else:
+        (_, _, g), _ = lax.scan(step, (eye4, eye4, eye4), xs)
 
     # t_resp = 2 * hmat @ g, then pick the incident-wave column
     h4 = as4(hmat)
@@ -491,9 +530,11 @@ def _deconvolve(cz, cr, wave_type, nsamp, fsamp, tshift, gauss_a, p,
 
 
 @partial(jax.jit,
-         static_argnames=('nsamp', 'wave_type', 'flattening'))
+         static_argnames=('nsamp', 'wave_type', 'flattening',
+                          'options'))
 def synrf(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp, tshift,
-          nsv, poisson, wave_type=P_WAVE, fref=1.0, flattening=True):
+          nsv, poisson, wave_type=P_WAVE, fref=1.0, flattening=True,
+          options=0):
     """Synthetic receiver function + Z/R responses for one padded model.
 
     Mirrors the reference entry points ``rfmini.synrf``
@@ -510,6 +551,9 @@ def synrf(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp, tshift,
       nsv, poisson   : near-surface S velocity and Poisson ratio for
                        the surface rotation (wrap.cpp:73-74)
       wave_type      : P_WAVE (0) or SV_WAVE (1)
+      options        : static bitmask of SUPPRESS_MULTIPLES /
+                       WITHOUT_ANELASTICITY (synrf.h:52-53; module
+                       flag notes)
 
     Returns (fz, fr, rf) each (nsamp,) real time series.
     Batch with jax.vmap over a leading model axis.
@@ -527,7 +571,7 @@ def synrf(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp, tshift,
 
     cz, cr = _transmission_response(
         h_f, vp_f, vs_f, rho_f, qp, qs, slowness, nsamp, fsamp,
-        wave_type, fref, cdtype)
+        wave_type, fref, cdtype, options=options)
 
     crf, crq, czq = _deconvolve(
         cz, cr, wave_type, nsamp, fsamp, tshift, gauss_a, slowness,

@@ -135,6 +135,15 @@ class Sampler(typing.NamedTuple):
     # alternating parity (the non-reversible DEO schedule).
     swap_fn: typing.Callable = None
     swap_every: int = 0
+    # on-device cycle scan (small-batch operating point): ``
+    # cycle_scan_fn(states, k)`` runs k whole mixed cycles in ONE
+    # program via lax.scan — every move id inside the cycle body is
+    # STATIC, so the scan hits none of the lax.switch branchiness
+    # trap that rules out scanning per-move dispatch.  Amortizes the
+    # ~1 ms dispatch floor where it dominates (the reference's own
+    # 21-chain configuration; anything under ~1k chains).
+    cycle_scan_fn: typing.Callable = None
+    cycle_early_scan_fn: typing.Callable = None
 
     def __iter__(self):  # 4-tuple unpacking compatibility
         return iter((self.init_fn, self.iterate_fn, self.run_fn,
@@ -992,6 +1001,22 @@ def build_sampler(eval_fn, cfg, mesh=None):
             return states
         return _sharded(body)(states)
 
+    def _cycle_mixed_body(states):
+        states = _step_static(states, MOVE_VS)
+        states = _step_static(states, MOVE_Z)
+        if has_dims:
+            states = _step_dim(states)
+            states = _step_dim(states)
+        for mid in cycle_moves:
+            if mid not in (MOVE_VS, MOVE_Z):
+                states = _step_static(states, int(mid))
+        return states
+
+    def _cycle_early_body(states):
+        for mid in cycle_early_moves:
+            states = _step_static(states, int(mid))
+        return states
+
     @partial(jax.jit, donate_argnums=0)
     def cycle_mixed_fn(states):
         """One late-phase sweep with PER-CHAIN dimension slots: vs, z,
@@ -999,24 +1024,39 @@ def build_sampler(eval_fn, cfg, mesh=None):
         compiled program covers every slot outcome (vs four host-slot
         variants), and each chain's slot is the fair birth/death
         mixture kernel by construction."""
-        def body(states):
-            states = _step_static(states, MOVE_VS)
-            states = _step_static(states, MOVE_Z)
-            if has_dims:
-                states = _step_dim(states)
-                states = _step_dim(states)
-            for mid in cycle_moves:
-                if mid not in (MOVE_VS, MOVE_Z):
-                    states = _step_static(states, int(mid))
-            return states
-        return _sharded(body)(states)
+        return _sharded(_cycle_mixed_body)(states)
 
     @partial(jax.jit, donate_argnums=0)
     def cycle_early_fn(states):
-        def body(states):
-            for mid in cycle_early_moves:
-                states = _step_static(states, int(mid))
-            return states
+        return _sharded(_cycle_early_body)(states)
+
+    # on-device cycle scan: k whole sweeps per program.  The cycle
+    # body has no host inputs — dimension-slot coins are drawn per
+    # chain from state.key (propose_dim) and the adaptation gate rides
+    # state.iiter — and every move id in it is STATIC, so a lax.scan
+    # over whole cycles is valid where a scan over per-move dispatch
+    # is not (lax.switch inside scan loses branchiness on TPU,
+    # measured 3.3x; see the Sampler docstring).  This amortizes the
+    # ~1 ms per-program dispatch floor, which DOMINATES below ~1k
+    # chains (the reference's own configuration is 21 chains,
+    # tutorial.rst:294-303).
+
+    @partial(jax.jit, static_argnums=(1,), donate_argnums=0)
+    def cycle_scan_fn(states, ncycles):
+        def body(st):
+            st, _ = lax.scan(
+                lambda s, _: (_cycle_mixed_body(s), None),
+                st, None, length=ncycles)
+            return st
+        return _sharded(body)(states)
+
+    @partial(jax.jit, static_argnums=(1,), donate_argnums=0)
+    def cycle_early_scan_fn(states, ncycles):
+        def body(st):
+            st, _ = lax.scan(
+                lambda s, _: (_cycle_early_body(s), None),
+                st, None, length=ncycles)
+            return st
         return _sharded(body)(states)
 
     def dim_slots_for(it):
@@ -1046,7 +1086,9 @@ def build_sampler(eval_fn, cfg, mesh=None):
                    cycle_fn, cycle_early_fn, cycle_len,
                    len(cycle_early_moves), dim_slots_for,
                    early_cutoff, cycle_mixed_fn,
-                   getattr(cfg, 'dim_mixture', 'per_chain'))
+                   getattr(cfg, 'dim_mixture', 'per_chain'),
+                   cycle_scan_fn=cycle_scan_fn,
+                   cycle_early_scan_fn=cycle_early_scan_fn)
 
 
 def precompile_cycles(sampler, states, include_steps=False):
@@ -1069,12 +1111,19 @@ def precompile_cycles(sampler, states, include_steps=False):
     import concurrent.futures as cf
 
     jobs = []
+    k_scan = scan_cycles_for(states.n.shape[0])
     if sampler.cycle_early_len:
         jobs.append(lambda: sampler.cycle_early_fn.lower(states))
+        if k_scan > 1 and sampler.cycle_early_scan_fn is not None:
+            jobs.append(lambda: sampler.cycle_early_scan_fn.lower(
+                states, k_scan))
     if sampler.cycle_len:
         if (sampler.dim_mixture == 'per_chain'
                 and sampler.cycle_mixed_fn is not None):
             jobs.append(lambda: sampler.cycle_mixed_fn.lower(states))
+            if k_scan > 1 and sampler.cycle_scan_fn is not None:
+                jobs.append(lambda: sampler.cycle_scan_fn.lower(
+                    states, k_scan))
         else:
             for d1, d2 in ((MOVE_BIRTH, MOVE_BIRTH),
                            (MOVE_BIRTH, MOVE_DEATH),
@@ -1094,6 +1143,20 @@ def precompile_cycles(sampler, states, include_steps=False):
         return [f.result() for f in futures]
 
 
+def scan_cycles_for(nchains):
+    """Cycles per dispatched program (the on-device cycle scan).
+
+    ``BAYHUNTER_SCAN_CYCLES``: unset/'auto' picks by batch size — the
+    ~1 ms dispatch floor dominates small batches (at the reference's
+    own 21-chain configuration it would be ~100% of wall time), while
+    at >=4k chains per-cycle compute is tens of ms and scanning only
+    delays host sync; an explicit integer pins k (1 disables)."""
+    env = os.environ.get('BAYHUNTER_SCAN_CYCLES', 'auto')
+    if env != 'auto':
+        return max(1, int(env))
+    return int(max(1, min(16, 4096 // max(int(nchains), 1))))
+
+
 def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
     """Advance a batched state exactly ``count`` iterations from
     global iteration ``it_global`` (counted like ``state.iiter``)
@@ -1102,13 +1165,18 @@ def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
 
     Whole cycles are dispatched (early variant before the sampler's
     ``early_cutoff``, dimension-slot draws from ``dim_slots_for``);
-    a remainder finer than one cycle falls back to per-step dispatch
-    on the random-scan schedule.  The async dispatch queue is bounded
-    by syncing every ``sync_every`` cycle calls.  Cycle inputs are
-    DONATED — callers must use only the returned states.
+    where the batch is small enough that the ~1 ms dispatch floor
+    dominates, k whole cycles go into ONE program via the sampler's
+    lax.scan path (``scan_cycles_for``; never across a tempering
+    swap boundary or the early/late cutoff).  A remainder finer than
+    one cycle falls back to per-step dispatch on the random-scan
+    schedule.  The async dispatch queue is bounded by syncing every
+    ``sync_every`` cycle calls.  Cycle inputs are DONATED — callers
+    must use only the returned states.
     """
     done = 0
     ncalls = 0
+    k_scan = scan_cycles_for(states.n.shape[0])
     while done < count:
         early = (it_global + done) < sampler.early_cutoff
         cl = sampler.cycle_early_len if early else sampler.cycle_len
@@ -1119,16 +1187,38 @@ def dispatch_cycles(sampler, states, it_global, count, sync_every=4):
                 states = sampler.step_fn(states, int(m))
             done = count
             break
+        # how many whole cycles may ride one program: bounded by the
+        # remaining request, the early/late cutoff and the next
+        # tempering swap sweep.  Each distinct k is its own compiled
+        # program, so k collapses to {k_scan, 1}: scan only when a
+        # full k_scan block fits, single cycles otherwise.
+        k = min(k_scan, (count - done) // cl)
         if early:
+            k = min(k, int(max(1, np.ceil(
+                (sampler.early_cutoff - (it_global + done)) / cl))))
+        if sampler.swap_fn is not None and sampler.swap_every > 0:
+            k = min(k, sampler.swap_every
+                    - (ncalls % sampler.swap_every))
+        if k < k_scan:
+            k = 1
+        per_chain = (sampler.dim_mixture == 'per_chain'
+                     and sampler.cycle_mixed_fn is not None)
+        scan_fn = (sampler.cycle_early_scan_fn if early
+                   else sampler.cycle_scan_fn)
+        if k > 1 and scan_fn is not None and (early or per_chain):
+            states = scan_fn(states, int(k))
+        elif early:
+            k = 1
             states = sampler.cycle_early_fn(states)
-        elif (sampler.dim_mixture == 'per_chain'
-              and sampler.cycle_mixed_fn is not None):
+        elif per_chain:
+            k = 1
             states = sampler.cycle_mixed_fn(states)
         else:
+            k = 1
             d1, d2 = sampler.dim_slots_for(it_global + done)
             states = sampler.cycle_fn(states, d1, d2)
-        done += cl
-        ncalls += 1
+        done += cl * k
+        ncalls += k
         if (sampler.swap_fn is not None and sampler.swap_every > 0
                 and (ncalls % sampler.swap_every) == 0):
             # replica-exchange sweep between move cycles; parity

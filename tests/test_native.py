@@ -116,3 +116,51 @@ def test_native_higher_mode():
                            jnp.asarray(periods), iwave=2, mode=2)
     assert not bool(e2_j)
     np.testing.assert_allclose(np.asarray(cg2_j), cg2, atol=5e-5)
+
+
+def test_native_love_higher_mode():
+    """Love first-higher-mode parity vs the f64 golden (the reference
+    mode loop surfdisp96.f:223-229 is wave-type-agnostic; the repo's
+    golden coverage previously pinned Rayleigh mode 2 only)."""
+    h = np.array([10.0, 0.0])
+    vs = np.array([3.0, 4.5])
+    vp = vs * 1.73
+    rho = vp * 0.32 + 0.77
+    periods = np.linspace(0.8, 4.0, 6)
+    cg1, e1 = native.surfdisp_native(h, vp, vs, rho, periods,
+                                     iwave=1, mode=1)
+    cg2, e2 = native.surfdisp_native(h, vp, vs, rho, periods,
+                                     iwave=1, mode=2)
+    assert not e1 and not e2
+    assert np.all(cg2 > cg1)
+    NL = 4
+    cg2_j, e2_j = surfdisp(jnp.asarray(pad(h, NL, 0.0)),
+                           jnp.asarray(pad(vp, NL, vp[-1])),
+                           jnp.asarray(pad(vs, NL, vs[-1])),
+                           jnp.asarray(pad(rho, NL, rho[-1])),
+                           jnp.asarray(periods), iwave=1, mode=2)
+    assert not bool(e2_j)
+    np.testing.assert_allclose(np.asarray(cg2_j), cg2, atol=5e-5)
+
+
+@pytest.mark.parametrize('iwave', [1, 2])
+def test_native_spherical_group(iwave):
+    """Spherical-earth GROUP velocities vs the f64 golden: the
+    flattening (surfdisp96.f:486-553) composes with the two
+    1%-apart phase solves of igr=1, which amplifies any flattening
+    mismatch ~100x — previously only spherical PHASE was pinned."""
+    rs = np.random.RandomState(19)
+    periods = np.linspace(8.0, 60.0, 7)
+    h, vp, vs, rho = random_model(rs, 4)
+    cg_n, err_n = native.surfdisp_native(h, vp, vs, rho, periods,
+                                         iwave=iwave, igr=1, iflsph=1)
+    NL = 8
+    cg_j, err_j = surfdisp(jnp.asarray(pad(h, NL, 0.0)),
+                           jnp.asarray(pad(vp, NL, vp[-1])),
+                           jnp.asarray(pad(vs, NL, vs[-1])),
+                           jnp.asarray(pad(rho, NL, rho[-1])),
+                           jnp.asarray(periods), iwave=iwave, igr=1,
+                           iflsph=1)
+    assert not err_n and not bool(err_j)
+    # group differencing amplifies the root-refinement resolution
+    np.testing.assert_allclose(np.asarray(cg_j), cg_n, atol=2e-4)

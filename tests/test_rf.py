@@ -230,3 +230,84 @@ def test_batch_dft_matches_irfft(monkeypatch):
     rf_dft = np.asarray(synrf_batch(*args, wave_type=P_WAVE,
                                     interpret=True))
     np.testing.assert_allclose(rf_dft, rf_fft, atol=5e-7)
+
+
+def test_synrf_solver_options():
+    """The rfmini compile-time solver options (synrf.h:52-53) as
+    runtime flags.  SUPPRESS_MULTIPLES must reduce the response to
+    the pure direct downward transmission g = prod_i e_i tu_{i+1}
+    (greens.cpp:212-216 with cmat2's default-zero nb);
+    WITHOUT_ANELASTICITY must equal the Q -> inf limit of the
+    anelastic law (Mueller eq. 132) and differ from finite Q."""
+    import jax
+    import jax.numpy as jnp
+    from bayhunter_tpu.ops.rf import (
+        synrf, SUPPRESS_MULTIPLES, WITHOUT_ANELASTICITY,
+        _transmission_response, interface_coefficients,
+        flatten_model, DEG_PER_KM)
+
+    NL = 6
+    h = np.zeros(NL); h[:2] = [8.0, 20.0]
+    vs = np.full(NL, 4.4); vs[:3] = [2.8, 3.6, 4.4]
+    vp = vs * 1.73
+    rho = vp * 0.32 + 0.77
+    qp = np.full(NL, 500.0); qs = np.full(NL, 225.0)
+    args = [jnp.asarray(x) for x in (h, vp, vs, rho, qp, qs)]
+
+    # --- WITHOUT_ANELASTICITY == Q -> inf limit ------------------
+    rf_elastic = synrf(*args, 6.4, 1.0, 256, 5.0, 5.0, vs[0], 0.25,
+                       options=WITHOUT_ANELASTICITY)[2]
+    qbig = jnp.full(NL, 1e9)
+    rf_qinf = synrf(args[0], args[1], args[2], args[3], qbig, qbig,
+                    6.4, 1.0, 256, 5.0, 5.0, vs[0], 0.25)[2]
+    np.testing.assert_allclose(np.asarray(rf_elastic),
+                               np.asarray(rf_qinf), atol=1e-8)
+    rf_anelastic = synrf(*args, 6.4, 1.0, 256, 5.0, 5.0, vs[0],
+                         0.25)[2]
+    assert np.max(np.abs(np.asarray(rf_elastic)
+                         - np.asarray(rf_anelastic))) > 1e-4
+
+    # --- SUPPRESS_MULTIPLES == direct transmission product -------
+    slowness = jnp.asarray(6.4 * DEG_PER_KM, jnp.float64)
+    hf, vpf, vsf, rhof = flatten_model(*args[:4])
+    cz_s, cr_s = _transmission_response(
+        hf, vpf, vsf, rhof, args[4], args[5], slowness, 256, 5.0,
+        0, 1.0, jnp.complex128, options=SUPPRESS_MULTIPLES)
+
+    # independent closed form: g = prod_i e_i tu_{i+1} with the same
+    # public coefficient/phase building blocks
+    nfreq = 256 // 2 + 1
+    dw = 2.0 * np.pi * 5.0 / 256
+    w = dw * np.arange(nfreq)
+    lgw = np.where(np.arange(nfreq) > 0,
+                   np.log(np.maximum(w, 1e-30) / (2 * np.pi)), 0.0)
+    p = float(slowness)
+    hf_n, vpf_n, vsf_n, rhof_n = (np.asarray(x) for x in
+                                  (hf, vpf, vsf, rhof))
+    g = np.broadcast_to(np.eye(2, dtype=complex), (nfreq, 2, 2)).copy()
+    for i in range(NL - 1):
+        vpc = vpf_n[i] * (1 + lgw / (np.pi * 500.0) + 1j / 1000.0)
+        vsc = vsf_n[i] * (1 + lgw / (np.pi * 225.0) + 1j / 450.0)
+        e1 = np.exp(-1j * w * hf_n[i]
+                    * np.sqrt(1 / (vpc * vpc) - p * p))
+        e2 = np.exp(-1j * w * hf_n[i]
+                    * np.sqrt(1 / (vsc * vsc) - p * p))
+        _, _, _, tu = interface_coefficients(
+            p, vpf_n[i], vsf_n[i], rhof_n[i], vpf_n[i + 1],
+            vsf_n[i + 1], rhof_n[i + 1], jnp.complex128)
+        tu = np.asarray(tu)
+        e = np.zeros((nfreq, 2, 2), complex)
+        e[:, 0, 0], e[:, 1, 1] = e1, e2
+        g = g @ (e @ np.broadcast_to(tu, (nfreq, 2, 2)))
+    from bayhunter_tpu.ops.rf import displacement_matrix
+    hmat = np.asarray(displacement_matrix(p, vpf_n[0], vsf_n[0],
+                                          jnp.complex128))
+    t = 2.0 * np.einsum('ab,fbc->fac', hmat, g)
+    qv = np.sqrt(np.maximum(1 / vpf_n ** 2 - p * p, 0.0))
+    h_t0 = hf_n.copy(); h_t0[-1] = -1.0
+    t0 = np.sum(h_t0 * qv)
+    qq = np.exp(1j * w * t0)
+    np.testing.assert_allclose(np.asarray(cz_s), t[:, 1, 0] * qq,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cr_s), t[:, 0, 0] * qq,
+                               rtol=1e-10, atol=1e-12)

@@ -403,3 +403,44 @@ def test_resort_states_block_keeps_groups(sampler):
                                   tag_in[expect_rows])
     np.testing.assert_array_equal(np.asarray(out.n),
                                   n_in[expect_rows])
+
+
+def test_scan_cycles_match_single_cycle_dispatch(sampler, monkeypatch):
+    """The on-device cycle scan (k whole mixed cycles per program via
+    lax.scan) must reproduce single-cycle dispatch: the scan body is
+    the same traced cycle, so the move sequence, counters and
+    trajectories agree.  Continuous fields are compared to tight
+    tolerance instead of bitwise — the scan program fuses the cycle
+    body differently than the standalone cycle program (measured
+    1e-18-level f64 differences; the same cross-program equivalence
+    class as the sharded-vs-unsharded note in test_sharding8).
+    Covers the early/late cutoff crossing (the scan must not run a
+    late cycle before early_cutoff)."""
+    from bayhunter_tpu.sampler.chain import (dispatch_cycles,
+                                             scan_cycles_for)
+    # auto heuristic: floor-dominated small batches scan, big ones not
+    assert scan_cycles_for(21) == 16
+    assert scan_cycles_for(512) == 8
+    assert scan_cycles_for(10240) == 1
+
+    count = 12 * sampler.cycle_len + 2   # + per-step remainder tail
+    it0 = int(np.floor(sampler.early_cutoff)) - 2 * \
+        sampler.cycle_early_len          # crosses the cutoff
+    s1 = sampler.init_states_host(7, 8)
+    s1 = s1._replace(iiter=jnp.full_like(s1.iiter, it0))
+    s2 = jax.tree_util.tree_map(jnp.copy, s1)
+
+    monkeypatch.setenv('BAYHUNTER_SCAN_CYCLES', '1')
+    s1 = dispatch_cycles(sampler, s1, it0, count)
+    monkeypatch.setenv('BAYHUNTER_SCAN_CYCLES', '4')
+    s2 = dispatch_cycles(sampler, s2, it0, count)
+
+    for name in ('n', 'iiter', 'accepted', 'proposed', 'fwdfail'):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s1, name)),
+            np.asarray(getattr(s2, name)), err_msg=name)
+    for name in ('vs', 'z', 'vpvs', 'noise', 'logL', 'propdist'):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)),
+            np.asarray(getattr(s2, name)), rtol=1e-9, atol=1e-12,
+            err_msg=name)
