@@ -54,16 +54,19 @@ LANES = 128
 
 
 def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
-                 newton_maxshift, compact_mr, has_sl, *refs):
+                 newton_maxshift, compact_mr, has_sl, has_ex, mr,
+                 *refs):
     nprops = 3 if iwave == 1 else 4
     if compact_mr is not None:
         refs, scratch = refs[:-nprops], refs[-nprops:]
-    *ins, c_out, f_out, s_out = refs
+    *ins, c_out, f_out, s_out, e_out = refs
     top_ref, c0_ref, om_ref, cm_ref, bx_ref = ins[:5]
     ins = ins[5:]
-    sl_ref = None
+    sl_ref = ex_ref = None
     if has_sl:
         sl_ref, *ins = ins
+    if has_ex:
+        ex_ref, *ins = ins
     if iwave == 1:
         d_ref, b_ref, rho_ref = ins
         prefs = (d_ref, b_ref, rho_ref)
@@ -72,10 +75,31 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
         prefs = (d_ref, a_ref, b_ref, rho_ref)
     top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
     c0 = c0_ref[0]
-    omega = jnp.maximum(om_ref[0], 1.0e-4)
-    cm = cm_ref[0]
-    bx = bx_ref[0]
     dc = jnp.float32(ddc)
+
+    # lane -> chain-group map (padding lanes >= M*R take group 0,
+    # matching _pack's first-lane padding so every padded lane is an
+    # exact duplicate of lane 0 and exits the walk with it)
+    M, R = mr
+    C_T, LANESK = c0.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C_T, LANESK), 1)
+    group = jnp.where(lane < M * R, lane // R, 0)
+
+    def expand_cols(row):
+        """(C_TILE, M) per-chain columns -> (C_TILE, LANES) lanes."""
+        out = jnp.zeros((C_T, LANESK), row.dtype)
+        for m in range(M):
+            out = jnp.where(group == m, row[:, m:m + 1], out)
+        return out
+
+    # omegas ride ONE (C_TILE, LANES) block shared by every program
+    # (the period row is a per-solve constant, so the operand folds
+    # at compile time — no per-step pack ops); cm/bx are per-chain
+    # scalars shipped as (C_TILE, M) columns and expanded here.
+    omega = jnp.maximum(om_ref[0], 1.0e-4)
+    cm = expand_cols(cm_ref[0])
+    bx = expand_cols(bx_ref[0])
+    c0 = jnp.clip(c0, cm, bx)   # warm-start clip, moved from XLA
 
     if compact_mr is not None:
         # compact layer properties: the XLA side ships (nl, C_TILE, M)
@@ -83,22 +107,10 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
         # LANES) blocks (the broadcast+pad chain was ~0.2 ms of XLA
         # tail per solve and 17x the HBM traffic).  Expand ONCE into
         # VMEM scratch — only the secular-visible layers (0..top and
-        # the halfspace) — with M static lane-group selects per layer;
-        # padding lanes (>= M*R) take group 0, matching _pack's
-        # first-lane padding of c0/om/cm/bx, so every padded lane is
-        # an exact duplicate of lane 0 and exits the walk with it.
-        M, R = compact_mr
-        C_T, LANESK = c0.shape
-        lane = jax.lax.broadcasted_iota(jnp.int32, (C_T, LANESK), 1)
-        group = jnp.where(lane < M * R, lane // R, 0)
-
+        # the halfspace) — with M static lane-group selects per layer.
         def expand(l, _):
             for pr, sc in zip(prefs, scratch):
-                row = pr[0, l]                      # (C_TILE, M)
-                out = jnp.zeros((C_T, LANESK), row.dtype)
-                for m in range(M):
-                    out = jnp.where(group == m, row[:, m:m + 1], out)
-                sc[l] = out
+                sc[l] = expand_cols(pr[0, l])       # (C_TILE, M)
             return 0
 
         # layer 0 is read unconditionally (water test + water-surface
@@ -118,9 +130,14 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
 
     water = prop(b_ref, 0) <= 0.0
 
-    def secular(c):
+    def _secular_impl(c, track):
+        """Secular value at c; with ``track`` also the accumulated
+        log renormalization scale lg (value_reported = value_true *
+        exp(lg), swd.dltar4_exp) — the currency that makes cached
+        slopes scale-compatible across a ±1-layer dimension jump."""
         wvno = omega / c
         wvno2 = wvno * wvno
+        zero_lg = jnp.zeros_like(c)
         if iwave == 1:
             b_hs = prop(b_ref, nl - 1)
             rho_hs = prop(rho_ref, nl - 1)
@@ -129,28 +146,42 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
             e = (rho_hs * rb,
                  jnp.broadcast_to(1.0 / (b_hs * b_hs), wvno.shape))
 
-            def body(j, e_):
+            def body(j, carry):
+                e_, lg_ = carry
                 l = top - j
                 skip = water & (l == 0)
+                if track:
+                    e_n, dlg = _dltar1_layer_math(
+                        e_, wvno, omega, prop(d_ref, l),
+                        prop(b_ref, l), prop(rho_ref, l), skip,
+                        return_lg=True)
+                    return e_n, lg_ + dlg
                 return _dltar1_layer_math(
                     e_, wvno, omega, prop(d_ref, l), prop(b_ref, l),
-                    prop(rho_ref, l), skip)
+                    prop(rho_ref, l), skip), lg_
 
-            e = jax.lax.fori_loop(0, top + 1, body, e)
-            return e[0]
+            e, lg = jax.lax.fori_loop(0, top + 1, body, (e, zero_lg))
+            return e[0], lg
         e = _dltar4_halfspace(wvno, wvno2, omega, prop(a_ref, nl - 1),
                               prop(b_ref, nl - 1),
                               prop(rho_ref, nl - 1))
 
-        def body(j, e_):
+        def body(j, carry):
+            e_, lg_ = carry
             l = top - j
             skip = water & (l == 0)
+            if track:
+                e_n, dlg = _dltar4_layer_math(
+                    e_, wvno, wvno2, omega, prop(d_ref, l),
+                    prop(a_ref, l), prop(b_ref, l), prop(rho_ref, l),
+                    skip, return_lg=True)
+                return e_n, lg_ + dlg
             return _dltar4_layer_math(
                 e_, wvno, wvno2, omega, prop(d_ref, l),
                 prop(a_ref, l), prop(b_ref, l), prop(rho_ref, l),
-                skip)
+                skip), lg_
 
-        e = jax.lax.fori_loop(0, top + 1, body, e)
+        (e, lg) = jax.lax.fori_loop(0, top + 1, body, (e, zero_lg))
         e1, e2 = e[0], e[1]
         # water-layer surface boundary (surfdisp96.f:850-869)
         a0_l = prop(a_ref, 0)
@@ -160,7 +191,13 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
         cosp_w, w_w, _, _ = _var_quantities(ra0 * d0_l, ra0,
                                             wvno < xka0, d0_l)
         return jnp.where(water, cosp_w * e1 - prop(rho_ref, 0)
-                         * w_w * e2, e1)
+                         * w_w * e2, e1), lg
+
+    def secular(c):
+        return _secular_impl(c, False)[0]
+
+    def secular_lg(c):
+        return _secular_impl(c, True)
 
     # in-kernel Newton prepass (dimension-move warm starts): the
     # XLA-level prepass pays two dispatched secular calls whose 42
@@ -169,27 +206,37 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
     # ops/swd.py prepass: value+slope from a DDC/16 finite
     # difference, shift clipped to newton_maxshift per iteration.
     eps_n = dc / 16.0
+    lg_this = None
     if newton_iters > 0:
-        v0 = secular(c0)
         if has_sl:
             # CACHED-SLOPE first iteration (1 sweep): the previous
             # solve's closing-bracket slope rides the forward cache.
-            # Valid for same-dimension (perturbation) proposals only
-            # — the secular renormalization scale is a continuous
-            # function of (model, c), so a small perturbation leaves
-            # the cached dval/dc scale-compatible with this sweep's
-            # value; dimension proposals add/remove a whole layer's
-            # renormalization and must keep the FD first iteration
-            # (the evaluator passes no slopes for those).  Lanes with
-            # the 0.0 no-cache sentinel skip recentering (shift 0).
-            sl = sl_ref[0]
-            hasf = jnp.where(jnp.abs(sl) > 0.0, 1.0, 0.0)
+            # The secular renormalization scale is a continuous
+            # function of (model, c), so for a same-dimension
+            # (perturbation) proposal the cached dval/dc is directly
+            # scale-compatible with this sweep's value; for a ±1-layer
+            # DIMENSION proposal the renormalization depth changes,
+            # and the cached EXPONENT (has_ex: the producing solve's
+            # accumulated log scale) rescales the slope onto this
+            # sweep's scale — slope_here = sl * exp(lg_here -
+            # lg_prev) — restoring the 1-sweep Newton the
+            # perturbation moves already enjoy.  Lanes with the 0.0
+            # no-cache sentinel skip recentering (shift 0).
+            if has_ex:
+                v0, lg_this = secular_lg(c0)
+                sl = sl_ref[0] * jnp.exp(
+                    jnp.clip(lg_this - ex_ref[0], -60.0, 60.0))
+            else:
+                v0 = secular(c0)
+                sl = sl_ref[0]
+            hasf = jnp.where(jnp.abs(sl_ref[0]) > 0.0, 1.0, 0.0)
             slope = jnp.where(hasf > 0.5, sl, 1.0)
             shift = jnp.clip(-v0 / slope, -newton_maxshift,
                              newton_maxshift) * hasf
         else:
             # value + finite-difference slope (2 sweeps)
             hasf = 1.0
+            v0 = secular(c0)
             v1 = secular(c0 + eps_n)
             slope = (v1 - v0) / eps_n
             slope = jnp.where(slope == 0.0, 1.0, slope)
@@ -227,7 +274,13 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
             c_pv, v_pv = c0, v0
             c0 = jnp.clip(c0 + shift, cm, bx)
 
-    f0 = secular(c0)
+    # the first post-recentering sweep doubles as the solve's
+    # exponent record: c0 sits ~on the root, so its accumulated log
+    # scale is the right currency for the NEXT solve's cached-slope
+    # rescale (e_out; tracking costs 2 VPU ops per layer on this one
+    # sweep)
+    f0, lg0 = secular_lg(c0)
+    e_out[0] = lg0
     # Mosaic cannot round-trip i1 vectors through loop carries
     # (arith.trunci i8->i1 fails to lower), so every carried mask is
     # f32 0/1 and rebuilt as bool where needed
@@ -351,20 +404,24 @@ def _pack_props(p, T, M, R, nl):
 def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                     iwave=2, ring_k=16, trips=2, nbisect=4,
                     newton_iters=0, newton_maxshift=0.0,
-                    slope_prev=None, interpret=False):
+                    slope_prev=None, exp_prev=None, interpret=False):
     """Warm root solve via the walking kernel.
 
     h/vp/vs/rho : (C, NL); omegas/c_prev (C, R); cm/betmx (C, 1).
-    Returns (c, found, slope) each (C, R): the refined root nearest
-    c_prev, whether one was bracketed within trips*ring_k steps, and
-    the refined bracket's secular slope (0.0 for unfound lanes) —
-    cacheable to seed the next perturbation solve's recentering.
+    Returns (c, found, slope, expo) each (C, R): the refined root
+    nearest c_prev, whether one was bracketed within trips*ring_k
+    steps, the refined bracket's secular slope (0.0 for unfound
+    lanes) and the solve's accumulated log renormalization scale —
+    both cacheable to seed the next solve's recentering.
     ``newton_iters`` > 0 runs that many in-kernel Newton recentering
     passes on c_prev before the walk (the dimension-move prepass,
     ops/swd.py), each shift clipped to ``newton_maxshift``;
     ``slope_prev`` (C, R, optional) supplies a cached slope for the
     FIRST pass so it costs one secular sweep instead of two (0.0
-    lanes skip recentering).
+    lanes skip recentering); ``exp_prev`` the producing solve's
+    exponents, which rescale the cached slope across a dimension
+    jump (exp(lg_here - lg_prev) — without it the cached slope is
+    only valid for same-dimension proposals).
     """
     C, R = omegas.shape
     nl = h.shape[-1]
@@ -382,6 +439,8 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                               betmx))
         if slope_prev is not None:
             slope_prev = padc(slope_prev)
+        if exp_prev is not None:
+            exp_prev = padc(exp_prev)
     T = Cp // G
 
     if R > LANES:
@@ -392,11 +451,28 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
     # the dense path, +2.5% @512 / wash @10240, and the walker's prop
     # input bytes shrink by ~R): default on; =0 restores dense blocks.
     compact = os.environ.get('BAYHUNTER_WALK_COMPACT', '1') == '1'
-    c0p = _pack(jnp.clip(c_prev, cm, betmx), T, M, R)
-    omp = _pack(omegas, T, M, R)
-    cmp_ = _pack(jnp.broadcast_to(cm, (Cp, R)), T, M, R)
-    bxp = _pack(jnp.broadcast_to(betmx, (Cp, R)), T, M, R)
+    # warm starts are clipped to [cm, bx] IN-KERNEL (the XLA clip was
+    # a padded (C, R) op); cm/bx ship as compact per-chain columns
+    # and omegas as ONE shared block — with a constant period row
+    # (the production case) the operand folds at compile time,
+    # removing the whole broadcast+tile+pad chain from the step.
+    c0p = _pack(c_prev, T, M, R)
+    # NOTE: omegas rows are chain-invariant by construction (the
+    # period row broadcast in surfdisp_roots_batch) — one shared
+    # block serves every program
+    om_row = omegas[0]                               # (R,)
+    om_lane = jnp.tile(om_row, M)
+    if M * R < LANES:
+        om_lane = jnp.concatenate(
+            [om_lane, jnp.broadcast_to(om_lane[:1], (LANES - M * R,))])
+    omp = jnp.broadcast_to(om_lane[None, None, :],
+                           (1, C_TILE, LANES))
+    cmp_ = cm[:, 0].reshape(T, C_TILE, M)
+    bxp = betmx[:, 0].reshape(T, C_TILE, M)
     slp = None if slope_prev is None else _pack(slope_prev, T, M, R)
+    exp_ = None if exp_prev is None else _pack(exp_prev, T, M, R)
+    if exp_ is not None and slp is None:
+        raise ValueError('exp_prev requires slope_prev')
     props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
     if compact:
         # (C, NL) -> (T, NL, C_TILE, M): per-chain columns, expanded
@@ -419,29 +495,43 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         return pl.BlockSpec((1, C_TILE, width), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    def spec_shared(width):
+        # one block shared by every program (chain-invariant operand)
+        return pl.BlockSpec((1, C_TILE, width), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_cols():
+        # (T, C_TILE, M) per-chain scalar columns
+        return pl.BlockSpec((1, C_TILE, M), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     def spec3(width):
         return pl.BlockSpec((1, nl, C_TILE, width),
                             lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [spec2(LANES)] * (4 if slp is None else 5)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM),
+                 spec2(LANES), spec_shared(LANES),
+                 spec_cols(), spec_cols()]
+                + ([] if slp is None else [spec2(LANES)])
+                + ([] if exp_ is None else [spec2(LANES)])
                 + [spec3(M if compact else LANES)] * len(dprops))
-    out_specs = [spec2(LANES)] * 3
+    out_specs = [spec2(LANES)] * 4
     max_steps = 2 * ring_k * trips
     scratch_shapes = ([pltpu.VMEM((nl, C_TILE, LANES), dtype)]
                       * len(dprops)) if compact else []
 
     args = ((top, c0p, omp, cmp_, bxp)
-            + (() if slp is None else (slp,)) + tuple(dprops))
-    c_pk, f_pk, s_pk = pl.pallas_call(
+            + (() if slp is None else (slp,))
+            + (() if exp_ is None else (exp_,)) + tuple(dprops))
+    c_pk, f_pk, s_pk, e_pk = pl.pallas_call(
         functools.partial(_walk_kernel, nl, iwave, max_steps,
                           nbisect, float(ddc), int(newton_iters),
                           float(newton_maxshift),
                           (M, R) if compact else None,
-                          slp is not None),
+                          slp is not None, exp_ is not None, (M, R)),
         out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)]
-        * 3,
+        * 4,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -453,4 +543,5 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         x = xp[..., :M * R].reshape(T, C_TILE, M, R)
         return x.reshape(Cp, R)[:C]
 
-    return unpack(c_pk), unpack(f_pk) > 0.5, unpack(s_pk)
+    return (unpack(c_pk), unpack(f_pk) > 0.5, unpack(s_pk),
+            unpack(e_pk))

@@ -103,6 +103,85 @@ def voronoi_to_layers(vs, z, n, vpvs, mantle=None):
     return h, vp_l, vs_l, rho
 
 
+def voronoi_to_layers_batch(vs, z, n, vpvs, mantle=None):
+    """Batch-first :func:`voronoi_to_layers` on FLAT lanes.
+
+    (C, NL) f32 arrays tile as T(8, 128) with the 21-wide minor dim
+    padded to 128 lanes, so the vmapped per-chain conversion pays
+    ~6x its flat cost on every elementwise op (the flat-lane rule,
+    docs/performance.md).  This variant runs the whole elementwise
+    chain on (C*NL,) arrays behind ``optimization_barrier`` (so XLA
+    cannot fold the relayout back into padded-layout consumers) and
+    reshapes once at each end.  Shifts along the layer axis stay
+    within each chain's contiguous NL-segment (masked at segment
+    boundaries); the halfspace broadcast is a segment max instead of
+    the one-hot sum.  Bitwise-equal output to
+    ``jax.vmap(voronoi_to_layers)`` up to f32 reassociation.
+    """
+    C, nl = vs.shape
+    idx = jnp.arange(nl)
+
+    def flat(x):
+        return x.reshape(C * nl)
+
+    vs_f, z_f = jax.lax.optimization_barrier((flat(vs), flat(z)))
+    n_b = jnp.broadcast_to(n[:, None], (C, nl))
+    vpvs_b = jnp.broadcast_to(vpvs[:, None], (C, nl))
+    idx_b = jnp.broadcast_to(idx[None, :], (C, nl))
+    n_f, vpvs_f, idx_f = jax.lax.optimization_barrier(
+        (flat(n_b), flat(vpvs_b), flat(idx_b)))
+
+    last = idx_f == nl - 1
+    # z_next: shift-left within each chain segment (the last slot
+    # repeats itself, matching the per-chain concatenate)
+    z_shift = jnp.concatenate([z_f[1:], z_f[-1:]])
+    z_next = jnp.where(last, z_f, z_shift)
+    z_disc = 0.5 * (z_f + z_next)
+    zd_shift = jnp.concatenate([z_disc[:1], z_disc[:-1]])
+    z_disc_prev = jnp.where(idx_f == 0, 0.0, zd_shift)
+    h = jnp.where(idx_f < n_f - 1, z_disc - z_disc_prev, 0.0)
+
+    vp = vs_f * vpvs_f
+    if mantle is not None:
+        valid = idx_f < n_f
+        is_m = jnp.where((vs_f >= mantle[0]) & valid, 1.0, 0.0)
+        # first mantle index per chain == argmax over the segment;
+        # computed as a segment reduction on the (C, NL) view (one
+        # reduce op, not a chain)
+        is_m2 = is_m.reshape(C, nl)
+        any_m = jnp.max(is_m2, axis=1) > 0.5
+        first_m = jnp.argmax(is_m2, axis=1)
+        in_m = jnp.broadcast_to(any_m[:, None], (C, nl)) \
+            & (idx_b >= first_m[:, None])
+        in_m_f, = jax.lax.optimization_barrier((flat(in_m),))
+        vp = jnp.where(in_m_f, vs_f * mantle[1], vp)
+
+    finite = idx_f < n_f - 1
+    # halfspace properties: segment reduction (exactly one slot
+    # matches n-1 per chain) on the 2-D view, then flat broadcast
+    hs_hot = idx_b == jnp.clip(n[:, None] - 1, 0, nl - 1)
+    vs_hs = jnp.max(jnp.where(hs_hot, vs, -jnp.inf), axis=1)
+    vs_hs_f, = jax.lax.optimization_barrier(
+        (flat(jnp.broadcast_to(vs_hs[:, None], (C, nl))),))
+    vp_hs = vs_hs_f * vpvs_f
+    if mantle is not None:
+        # the halfspace slot's mantle membership rides in_m at n-1;
+        # replicate exactly: recompute vp at the halfspace properties
+        hs_in_m = jnp.max(jnp.where(hs_hot, in_m, False), axis=1)
+        hs_in_m_f, = jax.lax.optimization_barrier(
+            (flat(jnp.broadcast_to(hs_in_m[:, None], (C, nl))),))
+        vp_hs = jnp.where(hs_in_m_f, vs_hs_f * mantle[1], vp_hs)
+
+    vs_l = jnp.where(finite, vs_f, vs_hs_f)
+    vp_l = jnp.where(finite, vp, vp_hs)
+    rho = vp_l * 0.32 + 0.77
+
+    h, vp_l, vs_l, rho = jax.lax.optimization_barrier(
+        (h, vp_l, vs_l, rho))
+    return (h.reshape(C, nl), vp_l.reshape(C, nl),
+            vs_l.reshape(C, nl), rho.reshape(C, nl))
+
+
 def interface_z(h, n):
     """Cumulative interface depths (masked); padded slots repeat the
     deepest interface.  Used by prior validity checks
@@ -151,6 +230,63 @@ def model_is_valid(vs, z, n, vpvs, priors, thickmin, lvz, hvz, mantle=None):
         ok &= jnp.all(jnp.where(pair_mask, comp, 1.0) > 0)
 
     return ok
+
+
+def model_is_valid_batch(vs, z, n, vpvs, priors, thickmin, lvz, hvz,
+                         mantle=None, layers=None):
+    """Batch-first :func:`model_is_valid` (flat-lane elementwise
+    chain + one 2-D segment reduction per constraint).  ``layers``
+    optionally reuses an already-computed (C, NL) thickness array
+    (the voronoi_to_layers output) to avoid recomputing it."""
+    C, nl = vs.shape
+    idx = jnp.arange(nl)
+    if layers is None:
+        h, _, _, _ = voronoi_to_layers_batch(vs, z, n, vpvs, mantle)
+    else:
+        h = layers
+
+    def flat(x):
+        return x.reshape(C * nl)
+
+    idx_b = jnp.broadcast_to(idx[None, :], (C, nl))
+    n_b = jnp.broadcast_to(n[:, None], (C, nl))
+    vs_f, h_f, idx_f, n_f = jax.lax.optimization_barrier(
+        (flat(vs), flat(h), flat(idx_b), flat(n_b.astype(jnp.int32))))
+
+    valid_f = idx_f < n_f
+    pair_f = idx_f < n_f - 1
+
+    layermin, layermax = priors['layers']
+    nlayer = n - 1
+    ok = (nlayer >= layermin) & (nlayer <= layermax)
+
+    thick_ok = jnp.where(pair_f, h_f >= thickmin, True)
+
+    vsmin, vsmax = priors['vs']
+    vs_ok = jnp.where(valid_f, (vs_f >= vsmin) & (vs_f <= vsmax),
+                      True)
+
+    zmin, zmax = priors['z']
+    # cumsum needs the segment structure: one 2-D cumsum op
+    zc = jnp.cumsum(h, axis=1)
+    zc_f, = jax.lax.optimization_barrier((flat(zc),))
+    z_ok = jnp.where(valid_f, (zc_f >= zmin) & (zc_f <= zmax), True)
+
+    # velocity-zone limits on consecutive active pairs
+    last = idx_f == nl - 1
+    vs_next = jnp.where(last, vs_f,
+                        jnp.concatenate([vs_f[1:], vs_f[-1:]]))
+    vz_ok = jnp.ones_like(valid_f)
+    if lvz is not None:
+        vz_ok &= jnp.where(pair_f, vs_next - vs_f * (1.0 - lvz) > 0,
+                           True)
+    if hvz is not None:
+        vz_ok &= jnp.where(pair_f, vs_f * (1.0 + hvz) - vs_next > 0,
+                           True)
+
+    all_ok = thick_ok & vs_ok & z_ok & vz_ok
+    all_ok, = jax.lax.optimization_barrier((all_ok,))
+    return ok & jnp.all(all_ok.reshape(C, nl), axis=1)
 
 
 def to_reference_vector(vs, z, n, nl=None):

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from bayhunter_tpu.ops import likelihood as lk
 from bayhunter_tpu.ops.rf import synrf, P_WAVE, SV_WAVE
 from bayhunter_tpu.ops.swd import surfdisp_roots
-from bayhunter_tpu.ops.voronoi import voronoi_to_layers
+from bayhunter_tpu.ops.voronoi import (voronoi_to_layers,
+                                       voronoi_to_layers_batch)
 
 logger = logging.getLogger(__name__)
 
@@ -38,12 +39,15 @@ class EvalBundle(typing.NamedTuple):
     """Joint-target evaluators sharing a forward cache.
 
     The cache (one per chain) is a tuple over targets of
-    ``(y_synth, roots, slopes)`` — the synthetic data of the
+    ``(y_synth, roots, slopes, exps)`` — the synthetic data of the
     *current* model and, for SWD targets, the dispersion roots used
-    to warm-start the next solve plus their bracket's secular slopes
-    (seeding the next perturbation solve's Newton recentering with
-    one sweep instead of two; 0.0 = no-cache sentinel).  ``roots``
-    and ``slopes`` are zero-length arrays for RF targets.
+    to warm-start the next solve, their bracket's secular slopes
+    (seeding the next solve's Newton recentering with one sweep
+    instead of two; 0.0 = no-cache sentinel) and the solve's
+    accumulated log renormalization exponents (which rescale the
+    cached slopes across a ±1-layer dimension jump — pallas_walk).
+    ``roots``/``slopes``/``exps`` are zero-length arrays for RF
+    targets.
 
       eval_full(vs, z, n, vpvs, noise, cache)
           -> (logL, misfits, valid, new_cache)   # warm-started
@@ -82,9 +86,22 @@ _USE_PALLAS_RF = os.environ.get('BAYHUNTER_PALLAS_RF', '1') == '1'
 # (BAYHUNTER_SLOPE_CACHE=0 restores the FD first iteration, for A/B):
 # the previous solve's closing-bracket slope rides the forward cache,
 # so the vs/vpvs recentering costs ONE secular sweep instead of two.
-# Perturbation moves only — dimension proposals change the secular
-# renormalization depth, breaking the cached slope's scale.
 _SLOPE_CACHE = os.environ.get('BAYHUNTER_SLOPE_CACHE', '1') == '1'
+# dimension-move slope cache (BAYHUNTER_DIM_SLOPE_CACHE=1 enables):
+# a ±1-layer proposal changes the secular renormalization depth, so
+# the cached slope is only scale-compatible together with the cached
+# EXPONENT, which the walker uses to rescale it
+# (slope * exp(lg_here - lg_prev)).  ADJUDICATED OFF (2026-08-20,
+# on-chip @10240 + scripts/diag_dim_slope_cache.py): the exponent
+# rescale itself is exact (slope ratio cached/FD p50 0.92-1.0
+# across the jump), but the OLD-model slope is too stale for the
+# hard half of dimension proposals — death-like moves double the
+# >2-DDC iteration-1 miss class (41% vs 22%), which the minimal dim
+# walk bound converts to cap-rejects: fwd_reject_dim_pct 10.95 ->
+# 26.1% on-chip, far out of band, for +5% throughput that is partly
+# reject-driven.  The FD value+slope pair stays for dim moves.
+_DIM_SLOPE_CACHE = _SLOPE_CACHE and os.environ.get(
+    'BAYHUNTER_DIM_SLOPE_CACHE', '0') == '1'
 
 # warm-ring trip cap for the batch SWD path; 0 disables the cap
 _WARM_TRIPS_CAP = int(os.environ.get('BAYHUNTER_WARM_CAP', '2')) or None
@@ -230,13 +247,14 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
     def _forward(spec, h, vp, vs_l, rho, c_prev, ring_width):
         """One target's synthetic data; returns
-        (y, tvalid, roots, slopes)."""
+        (y, tvalid, roots, slopes, exps)."""
         if spec.kind == 'custom':
             y = spec.jax_forward(h, vp, vs_l, rho)
             return (y, jnp.all(jnp.isfinite(y)),
-                    jnp.zeros((0,), dtype), jnp.zeros((0,), dtype))
+                    jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
+                    jnp.zeros((0,), dtype))
         if spec.kind == 'swd':
-            cg, err, roots, slopes = surfdisp_roots(
+            cg, err, roots, slopes, exps = surfdisp_roots(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, igr=spec.igr, mode=spec.mode,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
@@ -245,7 +263,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 y = jnp.interp(spec.interp_x, spec.periods, cg)
             else:
                 y = cg
-            return y, jnp.logical_not(err), roots, slopes
+            return y, jnp.logical_not(err), roots, slopes, exps
         # rf
         qp = jnp.full((nl,), 500.0, dtype)
         qs = jnp.full((nl,), 225.0, dtype)
@@ -258,7 +276,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                            poisson, wave_type=spec.wave_type)
         y = rf_t[:spec.ndata]
         return (y, jnp.all(jnp.isfinite(y)), jnp.zeros((0,), dtype),
-                jnp.zeros((0,), dtype))
+                jnp.zeros((0,), dtype), jnp.zeros((0,), dtype))
 
     def _eval(vs, z, n, vpvs, noise, cache, cell, ring_width=16):
         h, vp, vs_l, rho = voronoi_to_layers(vs, z, n, vpvs,
@@ -271,10 +289,11 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         for i, spec in enumerate(specs):
             c_prev = cache[i][1] if cache is not None \
                 and spec.kind == 'swd' else None
-            y, tvalid, roots, slopes = _forward(spec, h, vp, vs_l,
-                                                rho, c_prev,
-                                                ring_width)
-            new_cache.append((y, roots, slopes))
+            y, tvalid, roots, slopes, exps = _forward(spec, h, vp,
+                                                      vs_l, rho,
+                                                      c_prev,
+                                                      ring_width)
+            new_cache.append((y, roots, slopes, exps))
 
             ydiff = jnp.where(tvalid, y - spec.yobs_for(cell), 0.0)
             misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2)))
@@ -325,14 +344,15 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
     def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width,
                        dim_move=False, pert_newton=False,
-                       slope_prev=None):
+                       slope_prev=None, exp_prev=None):
         """(C, ...) variant of _forward; pallas-backed for the
         dispersion secular functions (Rayleigh and Love) and for the
         RF reflectivity recursion.  ``dim_move`` enables the
         anchor-shift warm start for birth/death proposals (see
         ops/swd.py surfdisp_roots_batch); ``pert_newton`` the Newton
         warm-start recentering for perturbation moves with large root
-        shifts (vs, vp/vs); ``slope_prev`` the cached bracket slopes
+        shifts (vs, vp/vs); ``slope_prev``/``exp_prev`` the cached
+        bracket slopes (+ exponents, required across dimension jumps)
         seeding that recentering with one sweep instead of two."""
         if spec.kind == 'rf' and pallas_rf:
             from bayhunter_tpu.ops.rf import synrf_batch
@@ -351,7 +371,9 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                                interpret=interpret)
             y = rf_t[:, :spec.ndata]
             return (y, jnp.all(jnp.isfinite(y), axis=-1),
-                    jnp.zeros((C, 0), dtype), jnp.zeros((C, 0), dtype))
+                    jnp.zeros((C, 0), dtype),
+                    jnp.zeros((C, 0), dtype),
+                    jnp.zeros((C, 0), dtype))
         if spec.kind == 'swd':
             from bayhunter_tpu.ops.swd import surfdisp_roots_batch
             # warm-ring trip caps (see surfdisp_roots_batch): a lane
@@ -362,27 +384,28 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             cap = (_DIM_TRIPS_CAP or _WARM_TRIPS_CAP) if dim_move \
                 else _WARM_TRIPS_CAP
             cap = cap if c_prev is not None else None
-            cg, err, roots, slopes = surfdisp_roots_batch(
+            cg, err, roots, slopes, exps = surfdisp_roots_batch(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
                 anchor_warm=dim_move, warm_trips_cap=cap,
                 pert_newton=pert_newton, slope_prev=slope_prev,
+                exp_prev=exp_prev,
                 return_slopes=True, interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
                     spec.interp_x, spec.periods, cc))(cg)
             else:
                 y = cg
-            return y, jnp.logical_not(err), roots, slopes
+            return y, jnp.logical_not(err), roots, slopes, exps
         # everything else: vmap the per-chain forward
-        y, tvalid, roots, slopes = jax.vmap(
+        y, tvalid, roots, slopes, exps = jax.vmap(
             lambda hh, aa, bb, rr, cp: _forward(spec, hh, aa, bb, rr,
                                                 cp, ring_width),
             in_axes=(0, 0, 0, 0, 0 if spec.kind == 'swd' else None)
         )(h, vp, vs_l, rho,
           c_prev if spec.kind == 'swd' else None)
-        return y, tvalid, roots, slopes
+        return y, tvalid, roots, slopes, exps
 
     # same-wave-type SWD targets CAN share one grouped solver call in
     # the batch path (e.g. Rayleigh phase + Rayleigh group): the
@@ -430,9 +453,12 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 continue
             done.add(idxs)
             specs_g = [specs[j] for j in idxs]
-            sl_prevs = [cache[j][2] for j in idxs] \
-                if (_SLOPE_CACHE and pert_newton and not dim_move) \
-                else None
+            use_sl = (_SLOPE_CACHE and pert_newton
+                      and not dim_move) \
+                or (_DIM_SLOPE_CACHE and dim_move)
+            sl_prevs = [cache[j][2] for j in idxs] if use_sl else None
+            ex_prevs = [cache[j][3] for j in idxs] \
+                if use_sl and dim_move else None
             outs = surfdisp_roots_batch_grouped(
                 h, vp, vs_l, rho,
                 [s.periods for s in specs_g],
@@ -441,7 +467,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 iwave=key[0], iflsph=key[1], mode=key[2],
                 warm_halfwidth=ring_width, anchor_warm=dim_move,
                 warm_trips_cap=cap, pert_newton=pert_newton,
-                slope_prevs=sl_prevs, return_slopes=True,
+                slope_prevs=sl_prevs, exp_prevs=ex_prevs,
+                return_slopes=True,
                 interpret=interpret)
             for j, out in zip(idxs, outs):
                 results[j] = out
@@ -452,10 +479,11 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                         pert_newton=False):
         """Batched eval_full: all arrays carry a leading chain axis."""
         C = vs.shape[0]
-        h, vp, vs_l, rho = jax.vmap(
-            lambda a, b, c, d: voronoi_to_layers(a, b, c, d,
-                                                 mantle=mantle)
-        )(vs, z, n, vpvs)
+        # flat-lane batch conversion (ops/voronoi.py): the vmapped
+        # per-chain path runs its elementwise chain on (C, NL) arrays
+        # padded 21 -> 128 lanes
+        h, vp, vs_l, rho = voronoi_to_layers_batch(vs, z, n, vpvs,
+                                                   mantle=mantle)
         logL = jnp.zeros((C,), dtype)
         misfits = []
         valid = jnp.ones((C,), bool)
@@ -467,14 +495,14 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
         for i, spec in enumerate(specs):
             if i in grouped:
-                cg, errg, roots, slopes = grouped[i]
+                cg, errg, roots, slopes, exps = grouped[i]
                 if spec.interp_x is not None:
                     y = jax.vmap(lambda cc: jnp.interp(
                         spec.interp_x, spec.periods, cc))(cg)
                 else:
                     y = cg
                 tvalid = jnp.logical_not(errg)
-                new_cache.append((y, roots, slopes))
+                new_cache.append((y, roots, slopes, exps))
                 yobs = jax.vmap(spec.yobs_for)(cell) \
                     if spec.batched_obs else spec.yobs
                 ydiff = jnp.where(tvalid[:, None], y - yobs, 0.0)
@@ -486,13 +514,15 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 valid = valid & tvalid
                 continue
             c_prev = cache[i][1] if spec.kind == 'swd' else None
-            slope_prev = cache[i][2] \
-                if (_SLOPE_CACHE and spec.kind == 'swd'
-                    and pert_newton and not dim_move) else None
-            y, tvalid, roots, slopes = _forward_batch(
+            use_sl = spec.kind == 'swd' and (
+                (_SLOPE_CACHE and pert_newton and not dim_move)
+                or (_DIM_SLOPE_CACHE and dim_move))
+            slope_prev = cache[i][2] if use_sl else None
+            exp_prev = cache[i][3] if use_sl and dim_move else None
+            y, tvalid, roots, slopes, exps = _forward_batch(
                 spec, h, vp, vs_l, rho, c_prev, ring_width,
-                dim_move, pert_newton, slope_prev)
-            new_cache.append((y, roots, slopes))
+                dim_move, pert_newton, slope_prev, exp_prev)
+            new_cache.append((y, roots, slopes, exps))
 
             yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \
                 else spec.yobs
