@@ -463,6 +463,14 @@ class MCMC_Optimizer(object):
         template = self.sampler.init_states_host(0, self.nchains_padded)
         treedef = jax.tree_util.tree_structure(template)
         nleaves = len(jax.tree_util.tree_leaves(template))
+        n_saved = sum(1 for k in data.files if k.startswith('leaf_'))
+        if n_saved != nleaves:
+            raise RuntimeError(
+                'checkpoint %s has %d state leaves but this build '
+                'expects %d — the sampler state layout changed '
+                '(e.g. the round-4 forward-cache exponent entry); '
+                'delete the checkpoint to restart the run'
+                % (self.ckptfile, n_saved, nleaves))
         leaves = [jnp.asarray(data['leaf_%d' % i])
                   for i in range(nleaves)]
         states = jax.tree_util.tree_unflatten(treedef, leaves)

@@ -23,9 +23,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.join(os.path.dirname(__file__), '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+# persistent compile cache for the slow axon remote compiles ONLY:
+# XLA:CPU AOT executables intermittently fail machine-feature
+# detection on reload (SIGABRT risk, see CLAUDE.md), so CPU runs of
+# this module (scripts importing bench.build on a CPU box) must not
+# touch the cache.
+if not (os.environ.get('JAX_PLATFORMS') == 'cpu'
+        or 'PALLAS_AXON_POOL_IPS' not in os.environ):
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        os.path.join(os.path.dirname(__file__), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      1.0)
 
 BASELINE_PROPOSALS_PER_S = 2570.0
 NCHAINS = int(os.environ.get('BENCH_NCHAINS', 10240))
