@@ -464,7 +464,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         for i in range(1, nl - 1):
             carry = layer_step(i, carry)
     elif dynamic == 'loop':
-        top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+        top = jnp.minimum(top_ref[0, pl.program_id(0)], nl - 2)
         carry = jax.lax.fori_loop(1, top + 1, layer_step, carry)
     else:
         # 'branch': one lax.cond per BLOCK of layers, not per layer —
@@ -486,7 +486,7 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         sched = [max(1, int(w)) for w in
                  os.environ.get('BAYHUNTER_RF_BLOCK', '4').split(',')
                  if w.strip()] or [4]
-        top = top_ref[pl.program_id(0), 0]
+        top = top_ref[0, pl.program_id(0)]
         blocks = []
         b, nblk = 1, 0
         while b < nl - 1:
@@ -697,8 +697,9 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                 | (qss[:, :-1] != qss[:, 1:]))
         act = real.reshape(Cp // C_TILE, C_TILE, nl - 1).any(axis=1)
         idx = jnp.arange(nl - 1, dtype=jnp.int32)
+        # (1, ntiles) SMEM row — see pallas_secular top-row note
         top = jnp.max(jnp.where(act, idx, 0), axis=-1,
-                      keepdims=True).astype(jnp.int32)
+                      keepdims=True).astype(jnp.int32).reshape(1, -1)
         args.insert(0, top)
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
 

@@ -95,8 +95,13 @@ def _tile_top_layer(d, ntiles, nl):
      8-chain tile; -1 when a tile is all-halfspace.  (T, 1) int32."""
     act = (d > 0.0).reshape(ntiles, C_TILE, nl).any(axis=1)
     idx = jnp.arange(nl, dtype=jnp.int32)
+    # ONE (1, ntiles) SMEM row: an (ntiles, 1) column pads each row
+    # to 512 B in the SMEM window, overflowing the 1 MB window from
+    # ~2048 tiles (the 40,960-chain compile failure); a single row
+    # costs 4*ntiles bytes and Mosaic supports the dynamic minor-dim
+    # scalar read top_ref[0, program_id]
     return jnp.max(jnp.where(act, idx, -1), axis=-1,
-                   keepdims=True).astype(jnp.int32)
+                   keepdims=True).astype(jnp.int32).reshape(1, -1)
 
 
 def _dyn_col(ref, i, nl):
@@ -313,14 +318,14 @@ def _dltar4_kernel(nl, dynamic, *refs):
         for i in range(nl - 2, -1, -1):
             e = layer_update(i, e)
     elif dynamic == 'loop':
-        top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+        top = jnp.minimum(top_ref[0, pl.program_id(0)], nl - 2)
         # one dynamic-trip loop over the active layers top..0 (padded
         # slots above top are identity + renormalization — skipped)
         e = jax.lax.fori_loop(
             0, top + 1,
             lambda j, e_: layer_update(top - j, e_, dyn_i=True), e)
     else:
-        top = top_ref[pl.program_id(0), 0]
+        top = top_ref[0, pl.program_id(0)]
         for i in range(nl - 2, -1, -1):
             e = jax.lax.cond(i <= top,
                              functools.partial(layer_update, i),
@@ -379,12 +384,12 @@ def _dltar1_kernel(nl, dynamic, *refs):
         for i in range(nl - 2, -1, -1):
             e = layer_update(i, e)
     elif dynamic == 'loop':
-        top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+        top = jnp.minimum(top_ref[0, pl.program_id(0)], nl - 2)
         e = jax.lax.fori_loop(
             0, top + 1,
             lambda j, e_: layer_update(top - j, e_, dyn_i=True), e)
     else:
-        top = top_ref[pl.program_id(0), 0]
+        top = top_ref[0, pl.program_id(0)]
         for i in range(nl - 2, -1, -1):
             e = jax.lax.cond(i <= top,
                              functools.partial(layer_update, i),

@@ -73,7 +73,7 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
     else:
         d_ref, a_ref, b_ref, rho_ref = ins
         prefs = (d_ref, a_ref, b_ref, rho_ref)
-    top = jnp.minimum(top_ref[pl.program_id(0), 0], nl - 2)
+    top = jnp.minimum(top_ref[0, pl.program_id(0)], nl - 2)
     c0 = c0_ref[0]
     dc = jnp.float32(ddc)
 
@@ -486,8 +486,9 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
     # program; resort keeps them n-homogeneous)
     act = (h > 0.0).reshape(T, G, nl).any(axis=1)
     idx = jnp.arange(nl, dtype=jnp.int32)
+    # (1, T) SMEM row — see pallas_secular top-row note
     top = jnp.max(jnp.where(act, idx, -1), axis=-1,
-                  keepdims=True).astype(jnp.int32)
+                  keepdims=True).astype(jnp.int32).reshape(1, -1)
 
     grid = (T,)
 
