@@ -832,9 +832,26 @@ def build_sampler(eval_fn, cfg, mesh=None):
             cells_j = jnp.asarray(np.asarray(cells), jnp.int32)
         if eval_batch is None:
             eval_batch = jax.jit(jax.vmap(eval_fn.eval_cold))
-        logL_j, misfits_j, _, cache_j = eval_batch(vs_j, z_j, n_j,
-                                                   vpvs_j, noise_j,
-                                                   cells_j)
+        # the cold counting search materializes (chains, periods,
+        # block-lanes) intermediates — ~0.2 GB per 16k chains per
+        # stage — so huge batches evaluate in chunks (the 81,920-
+        # chain init OOM'd at 18.9 GB un-chunked).  Hot-path programs
+        # are unaffected (they never run the counting search).
+        chunk = int(os.environ.get('BAYHUNTER_INIT_CHUNK', '16384'))
+        if nchains > chunk and nchains % chunk == 0:
+            parts = [eval_batch(vs_j[i:i + chunk], z_j[i:i + chunk],
+                                n_j[i:i + chunk], vpvs_j[i:i + chunk],
+                                noise_j[i:i + chunk],
+                                cells_j[i:i + chunk])
+                     for i in range(0, nchains, chunk)]
+            logL_j = jnp.concatenate([p[0] for p in parts])
+            misfits_j = jnp.concatenate([p[1] for p in parts])
+            cache_j = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs),
+                *[p[3] for p in parts])
+        else:
+            logL_j, misfits_j, _, cache_j = eval_batch(
+                vs_j, z_j, n_j, vpvs_j, noise_j, cells_j)
         keys = jax.random.split(
             jax.random.PRNGKey(int(rs.randint(2 ** 31))), nchains)
         return ChainState(

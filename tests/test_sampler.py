@@ -418,7 +418,9 @@ def test_scan_cycles_match_single_cycle_dispatch(sampler, monkeypatch):
     late cycle before early_cutoff)."""
     from bayhunter_tpu.sampler.chain import (dispatch_cycles,
                                              scan_cycles_for)
-    # auto heuristic: floor-dominated small batches scan, big ones not
+    # auto heuristic: floor-dominated small batches scan, big ones
+    # not (conftest pins SCAN_CYCLES=1 suite-wide; lift it here)
+    monkeypatch.delenv('BAYHUNTER_SCAN_CYCLES', raising=False)
     assert scan_cycles_for(21) == 16
     assert scan_cycles_for(512) == 8
     assert scan_cycles_for(10240) == 1
