@@ -246,6 +246,19 @@ def main():
             'fwd_reject_dim_in_band': (
                 None if dim_reject_pct is None
                 else bool(0.0 < dim_reject_pct < 12.5)),
+            # warm-up failure fallback disclosure: True means this run
+            # re-exec'd itself with the forced knobs below after the
+            # primary arm failed to compile/run (the 10x slower
+            # non-pallas arm) — a number of record with this flag set
+            # is NOT comparable to the primary arm.  The round-4 SMEM
+            # overflow hid behind the silent stderr-only fallback for
+            # most of a session; the JSON now self-discloses.
+            'fallback_arm': os.environ.get('_BENCH_NL_FALLBACK') == '1',
+            'fallback_forced_knobs': (
+                {'BAYHUNTER_DYNAMIC_NL': '0',
+                 'BAYHUNTER_WARM_SOLVER': 'staged'}
+                if os.environ.get('_BENCH_NL_FALLBACK') == '1'
+                else None),
             'peak_hbm_gb': hbm_gb,
         },
     }))
