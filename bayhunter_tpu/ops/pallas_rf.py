@@ -561,8 +561,15 @@ def interface_coeffs_xla(p, vp, vs, rho):
     # (Component-major lanes — a relayout-free pack — were tried and
     # adjudicated 18% SLOWER on-chip: scattered in-kernel VMEM loads
     # cost more than the one relayout copy; docs/performance.md.)
-    packed = jnp.stack([c.reshape(C, nl - 1) for c in comps],
-                       axis=-1).astype(jnp.float32)
+    # The pack itself is ONE component-axis stack + ONE transpose
+    # copy: the earlier per-component ``c.reshape(C, nl-1)`` stack
+    # emitted 32 reshapes + 32 copies at the XLA top level (65 ops x
+    # the ~µs per-op device floor was the single largest step-tail
+    # source, scripts/attr_step_tail.py round-4).  Bit-identical
+    # output: stack[e, c, l] -> transpose(1, 2, 0)[c, l, e] is the
+    # same element order as the old axis=-1 stack.
+    packed = jnp.stack(comps, axis=0).reshape(32, C, nl - 1)
+    packed = packed.transpose(1, 2, 0).astype(jnp.float32)
     return packed.reshape(C, (nl - 1) * 32)
 
 
