@@ -53,9 +53,24 @@ from bayhunter_tpu.ops.pallas_secular import (C_TILE,
 LANES = 128
 
 
+class _StackedProp:
+    """Layer-indexable view of one prop plane of the stacked
+    (nprops, nl, 1, C_TILE, M) props block (transposed-layout input
+    path): ``pr[0, l]`` reads plane ``k`` at layer ``l``, matching
+    the per-prop ``(1, nl, C_TILE, M)`` compact read pattern."""
+
+    def __init__(self, ref, k):
+        self.ref = ref
+        self.k = k
+
+    def __getitem__(self, idx):
+        _, l = idx
+        return self.ref[self.k, l, 0]
+
+
 def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
                  newton_maxshift, compact_mr, has_sl, has_ex, mr,
-                 *refs):
+                 stacked, *refs):
     nprops = 3 if iwave == 1 else 4
     if compact_mr is not None:
         refs, scratch = refs[:-nprops], refs[-nprops:]
@@ -67,7 +82,19 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
         sl_ref, *ins = ins
     if has_ex:
         ex_ref, *ins = ins
-    if iwave == 1:
+    if stacked:
+        # ONE (nprops, nl, 1, C_TILE, M) stacked props block (the
+        # transposed-layout caller ships a single stack+pad instead
+        # of per-prop packs): view each prop as a layer-indexable
+        # getter.  Requires compact mode (per-chain columns).
+        dall_ref, = ins
+        prefs = tuple(
+            _StackedProp(dall_ref, k) for k in range(nprops))
+        if iwave == 1:
+            d_ref, b_ref, rho_ref = prefs
+        else:
+            d_ref, a_ref, b_ref, rho_ref = prefs
+    elif iwave == 1:
         d_ref, b_ref, rho_ref = ins
         prefs = (d_ref, b_ref, rho_ref)
     else:
@@ -404,7 +431,8 @@ def _pack_props(p, T, M, R, nl):
 def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                     iwave=2, ring_k=16, trips=2, nbisect=4,
                     newton_iters=0, newton_maxshift=0.0,
-                    slope_prev=None, exp_prev=None, interpret=False):
+                    slope_prev=None, exp_prev=None, layout_t=False,
+                    interpret=False):
     """Warm root solve via the walking kernel.
 
     h/vp/vs/rho : (C, NL); omegas/c_prev (C, R); cm/betmx (C, 1).
@@ -424,19 +452,34 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
     only valid for same-dimension proposals).
     """
     C, R = omegas.shape
-    nl = h.shape[-1]
+    nl = h.shape[0] if layout_t else h.shape[-1]
     dtype = omegas.dtype
     M = max(1, LANES // R)
     G = C_TILE * M                       # chains per program
     Cp = -(-C // G) * G
+    pstack = None
+    if layout_t:
+        # transposed (NL, C) props: ONE stack + ONE lane pad covers
+        # all prop planes (the row-major path pays a reshape +
+        # moveaxis copy PER prop); chain c maps to (t, s, m) with
+        # c = (t*C_TILE + s)*M + m in both layouts, so c0p/cm/bx
+        # packs line up unchanged.
+        props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
+        pstack = jnp.stack(props, axis=0)            # (P, NL, C)
+        if Cp != C:
+            pstack = jnp.concatenate(
+                [pstack, jnp.broadcast_to(
+                    pstack[..., :1],
+                    pstack.shape[:-1] + (Cp - C,))], axis=-1)
     if Cp != C:
         def padc(x):
             return jnp.concatenate(
                 [x, jnp.broadcast_to(x[:1], (Cp - C,) + x.shape[1:])],
                 axis=0)
-        h, vp, vs, rho, omegas, c_prev, cm, betmx = (
-            padc(x) for x in (h, vp, vs, rho, omegas, c_prev, cm,
-                              betmx))
+        omegas, c_prev, cm, betmx = (
+            padc(x) for x in (omegas, c_prev, cm, betmx))
+        if not layout_t:
+            h, vp, vs, rho = (padc(x) for x in (h, vp, vs, rho))
         if slope_prev is not None:
             slope_prev = padc(slope_prev)
         if exp_prev is not None:
@@ -473,22 +516,36 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
     exp_ = None if exp_prev is None else _pack(exp_prev, T, M, R)
     if exp_ is not None and slp is None:
         raise ValueError('exp_prev requires slope_prev')
-    props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
-    if compact:
-        # (C, NL) -> (T, NL, C_TILE, M): per-chain columns, expanded
-        # to lane groups inside the kernel (see _walk_kernel)
-        dprops = [jnp.moveaxis(p.reshape(T, C_TILE, M, nl), -1, 1)
-                  for p in props]
+    nprops = 3 if iwave == 1 else 4
+    if layout_t:
+        if not compact:
+            raise ValueError('layout_t requires compact prop '
+                             'shipping (BAYHUNTER_WALK_COMPACT=1)')
+        # (P, NL, Cp) -> (P, NL, T, C_TILE, M): a FREE reshape (the
+        # split of the minor axis is row-major in both views)
+        dprops = [pstack.reshape(nprops, nl, T, C_TILE, M)]
+        act_t = (pstack[0] > 0.0).reshape(nl, T, G).any(axis=2)
+        idx = jnp.arange(nl, dtype=jnp.int32)
+        top = jnp.max(jnp.where(act_t, idx[:, None], -1),
+                      axis=0).astype(jnp.int32).reshape(1, -1)
     else:
-        dprops = [_pack_props(p, T, M, R, nl) for p in props]
+        props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
+        if compact:
+            # (C, NL) -> (T, NL, C_TILE, M): per-chain columns,
+            # expanded to lane groups inside the kernel
+            # (see _walk_kernel)
+            dprops = [jnp.moveaxis(p.reshape(T, C_TILE, M, nl), -1, 1)
+                      for p in props]
+        else:
+            dprops = [_pack_props(p, T, M, R, nl) for p in props]
 
-    # deepest consequential layer per program (chains grouped G per
-    # program; resort keeps them n-homogeneous)
-    act = (h > 0.0).reshape(T, G, nl).any(axis=1)
-    idx = jnp.arange(nl, dtype=jnp.int32)
-    # (1, T) SMEM row — see pallas_secular top-row note
-    top = jnp.max(jnp.where(act, idx, -1), axis=-1,
-                  keepdims=True).astype(jnp.int32).reshape(1, -1)
+        # deepest consequential layer per program (chains grouped G
+        # per program; resort keeps them n-homogeneous)
+        act = (h > 0.0).reshape(T, G, nl).any(axis=1)
+        idx = jnp.arange(nl, dtype=jnp.int32)
+        # (1, T) SMEM row — see pallas_secular top-row note
+        top = jnp.max(jnp.where(act, idx, -1), axis=-1,
+                      keepdims=True).astype(jnp.int32).reshape(1, -1)
 
     grid = (T,)
 
@@ -511,16 +568,22 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                             lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    if layout_t:
+        prop_specs = [pl.BlockSpec((nprops, nl, 1, C_TILE, M),
+                                   lambda i: (0, 0, i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+    else:
+        prop_specs = [spec3(M if compact else LANES)] * len(dprops)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM),
                  spec2(LANES), spec_shared(LANES),
                  spec_cols(), spec_cols()]
                 + ([] if slp is None else [spec2(LANES)])
                 + ([] if exp_ is None else [spec2(LANES)])
-                + [spec3(M if compact else LANES)] * len(dprops))
+                + prop_specs)
     out_specs = [spec2(LANES)] * 4
     max_steps = 2 * ring_k * trips
     scratch_shapes = ([pltpu.VMEM((nl, C_TILE, LANES), dtype)]
-                      * len(dprops)) if compact else []
+                      * nprops) if compact else []
 
     args = ((top, c0p, omp, cmp_, bxp)
             + (() if slp is None else (slp,))
@@ -530,7 +593,8 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                           nbisect, float(ddc), int(newton_iters),
                           float(newton_maxshift),
                           (M, R) if compact else None,
-                          slp is not None, exp_ is not None, (M, R)),
+                          slp is not None, exp_ is not None, (M, R),
+                          bool(layout_t)),
         out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)]
         * 4,
         grid=grid,

@@ -182,6 +182,120 @@ def voronoi_to_layers_batch(vs, z, n, vpvs, mantle=None):
             vs_l.reshape(C, nl), rho.reshape(C, nl))
 
 
+# --------------------------------------------------------------------------
+# transposed (NL, C) batch variants — chains on the 128-wide LANE axis
+#
+# A (C, NL) f32 array tiles as T(8, 128) with the 21-wide minor dim
+# padded to 128 lanes, so every elementwise op pays ~6x its flat cost
+# AND is stored 6x padded in HBM; the flat-lane variants above fix the
+# utilization but need optimization_barrier fences that fragment the
+# step program into dozens of separate XLA ops (each with a ~µs device
+# launch floor — the round-4 step-tail diagnosis).  Storing the model
+# axis on SUBLANES and chains on LANES makes every model-vector op
+# full-lane NATIVELY: no barriers, no reshapes, and the whole
+# propose -> voronoi -> validity chain fuses into a handful of ops.
+# Layer-axis shifts become major-dim static shifts, reductions become
+# sublane reductions, and the solver operand packs (pallas_walk
+# props_t, pallas_rf packed mode) follow from the same layout by pure
+# reshape.  Reference semantics identical to the row-major variants
+# (src/Models.py:40-52, src/SingleChain.py:330-392).
+# --------------------------------------------------------------------------
+
+
+def sort_by_depth_T(vs_t, z_t, n):
+    """:func:`sort_by_depth` on (NL, C) transposed arrays: sorts each
+    chain's nuclei along the LEADING axis (``dimension=0``), padding
+    (i >= n) keyed to the end.  Same stable variadic lax.sort as the
+    row-major path — identical output order per chain."""
+    nl = z_t.shape[0]
+    idx = jnp.arange(nl)[:, None]
+    zkey = jnp.where(idx < n[None, :], z_t,
+                     BIG_Z + idx.astype(z_t.dtype))
+    _, vs_s, z_s = jax.lax.sort((zkey, vs_t, z_t), dimension=0,
+                                num_keys=1, is_stable=True)
+    return vs_s, z_s
+
+
+def voronoi_to_layers_T(vs_t, z_t, n, vpvs, mantle=None):
+    """:func:`voronoi_to_layers` on (NL, C) transposed arrays.
+
+    ``vs_t``/``z_t`` are (NL, C); ``n``/``vpvs`` are (C,).  Returns
+    (h, vp, vs_l, rho) each (NL, C).  Same formulas as the batch
+    variant (value-identical up to f32 fusion reassociation)."""
+    nl, C = vs_t.shape
+    idx = jnp.arange(nl)[:, None]                        # (NL, 1)
+    n_b = n[None, :]
+
+    z_next = jnp.concatenate([z_t[1:], z_t[-1:]], axis=0)
+    z_disc = 0.5 * (z_t + z_next)
+    z_disc_prev = jnp.concatenate(
+        [jnp.zeros_like(z_disc[:1]), z_disc[:-1]], axis=0)
+    h = jnp.where(idx < n_b - 1, z_disc - z_disc_prev, 0.0)
+
+    vp = vs_t * vpvs[None, :]
+    in_m = None
+    if mantle is not None:
+        valid = idx < n_b
+        is_m = (vs_t >= mantle[0]) & valid
+        any_m = jnp.any(is_m, axis=0)                    # (C,)
+        first_m = jnp.argmax(is_m, axis=0)               # (C,)
+        in_m = any_m[None, :] & (idx >= first_m[None, :])
+        vp = jnp.where(in_m, vs_t * mantle[1], vp)
+
+    finite = idx < n_b - 1
+    hs_hot = idx == jnp.clip(n - 1, 0, nl - 1)[None, :]
+    vs_hs = jnp.sum(jnp.where(hs_hot, vs_t, 0.0), axis=0)  # (C,)
+    vp_hs = vs_hs * vpvs
+    if mantle is not None:
+        hs_in_m = jnp.any(hs_hot & in_m, axis=0)
+        vp_hs = jnp.where(hs_in_m, vs_hs * mantle[1], vp_hs)
+
+    vs_l = jnp.where(finite, vs_t, vs_hs[None, :])
+    vp_l = jnp.where(finite, vp, vp_hs[None, :])
+    rho = vp_l * 0.32 + 0.77
+    return h, vp_l, vs_l, rho
+
+
+def model_is_valid_T(vs_t, z_t, n, vpvs, priors, thickmin, lvz, hvz,
+                     mantle=None, h_t=None):
+    """:func:`model_is_valid` on (NL, C) transposed arrays; returns
+    (C,) bool.  ``h_t`` optionally reuses an already-computed (NL, C)
+    thickness array (the voronoi_to_layers_T output)."""
+    nl, C = vs_t.shape
+    idx = jnp.arange(nl)[:, None]
+    n_b = n[None, :]
+    if h_t is None:
+        h_t, _, _, _ = voronoi_to_layers_T(vs_t, z_t, n, vpvs, mantle)
+
+    valid = idx < n_b
+    pair = idx < n_b - 1
+
+    layermin, layermax = priors['layers']
+    nlayer = n - 1
+    ok = (nlayer >= layermin) & (nlayer <= layermax)
+
+    thick_ok = jnp.where(pair, h_t >= thickmin, True)
+
+    vsmin, vsmax = priors['vs']
+    vs_ok = jnp.where(valid, (vs_t >= vsmin) & (vs_t <= vsmax), True)
+
+    zmin, zmax = priors['z']
+    zc = jnp.cumsum(h_t, axis=0)
+    z_ok = jnp.where(valid, (zc >= zmin) & (zc <= zmax), True)
+
+    vs_next = jnp.concatenate([vs_t[1:], vs_t[-1:]], axis=0)
+    vz_ok = jnp.ones_like(valid)
+    if lvz is not None:
+        vz_ok &= jnp.where(pair, vs_next - vs_t * (1.0 - lvz) > 0,
+                           True)
+    if hvz is not None:
+        vz_ok &= jnp.where(pair, vs_t * (1.0 + hvz) - vs_next > 0,
+                           True)
+
+    all_ok = thick_ok & vs_ok & z_ok & vz_ok
+    return ok & jnp.all(all_ok, axis=0)
+
+
 def interface_z(h, n):
     """Cumulative interface depths (masked); padded slots repeat the
     deepest interface.  Used by prior validity checks
