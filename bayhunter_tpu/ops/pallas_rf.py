@@ -268,8 +268,25 @@ def _displacement(p, vp, vs):
 # the kernel
 # ----------------------------------------------------------------------
 
+class _ColView:
+    """Column-offset view over the packed per-chain operand block
+    (transposed-layout path): ``view[:, i:i+1]`` reads the underlying
+    ref at column offset ``off + i`` — so the kernel body's existing
+    ``x_ref[:, l:l+1]`` reads work unchanged against one combined
+    (C_TILE, width) block."""
+
+    def __init__(self, ref, off):
+        self.ref = ref
+        self.off = off
+
+    def __getitem__(self, idx):
+        _, cols = idx
+        return self.ref[:, cols.start + self.off:
+                        cols.stop + self.off]
+
+
 def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
-                 coeff_xla, q_const, scal_xla, *refs):
+                 coeff_xla, q_const, scal_xla, packed, *refs):
     if dynamic:
         top_ref, *refs = refs
     else:
@@ -282,11 +299,23 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         coef_ref, *refs = refs
     else:
         coef_ref = None
-    scal_ref = None
-    if scal_xla:
-        scal_ref, *refs = refs
-    (h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
-     czr_ref, czi_ref, crr_ref, cri_ref) = refs
+    if packed:
+        # ONE (C_TILE, 3*NL+18) per-chain block carries
+        # [h | vp | vs | p | scal(17)]; rho/qp/qs are never read in
+        # this mode (coefficients precomputed, uniform Q)
+        pack_ref, czr_ref, czi_ref, crr_ref, cri_ref = refs
+        h_ref = _ColView(pack_ref, 0)
+        vp_ref = _ColView(pack_ref, nl)
+        vs_ref = _ColView(pack_ref, 2 * nl)
+        p_ref = _ColView(pack_ref, 3 * nl)
+        scal_ref = _ColView(pack_ref, 3 * nl + 1)
+        rho_ref = qp_ref = qs_ref = None
+    else:
+        scal_ref = None
+        if scal_xla:
+            scal_ref, *refs = refs
+        (h_ref, vp_ref, vs_ref, rho_ref, qp_ref, qs_ref, p_ref,
+         czr_ref, czi_ref, crr_ref, cri_ref) = refs
     F = czr_ref.shape[-1]
     p = p_ref[:, 0:1]                                   # (8, 1)
 
@@ -394,8 +423,10 @@ def _resp_kernel(nl, nsamp, fsamp, wave_type, fref, nfreq, dynamic,
         vp_l = vp_ref[:, i:i + 1]
         vs_l = vs_ref[:, i:i + 1]
         h_l = h_ref[:, i:i + 1]
-        qp_l = qp_ref[:, i:i + 1]
-        qs_l = qs_ref[:, i:i + 1]
+        # packed (transposed-layout) blocks carry no Q columns — the
+        # uniform-Q phase hoist never reads them
+        qp_l = None if qp_ref is None else qp_ref[:, i:i + 1]
+        qs_l = None if qs_ref is None else qs_ref[:, i:i + 1]
         if coef_ref is not None:
             def cf(m, e, c):
                 k = i * 32 + m * 8 + e * 2 + c
@@ -599,9 +630,53 @@ def chain_scalars_xla(p, h, vp, vs, wave_type):
     return jnp.stack(cols, axis=-1).astype(jnp.float32)
 
 
+def interface_coeffs_xla_t(p, vp, vs, rho):
+    """:func:`interface_coeffs_xla` on transposed (NL, C) layer
+    arrays: the (NL-1, C) elementwise chain is full-lane NATIVELY
+    (chains ride the 128-wide axis), so no flat reshapes or
+    optimization-barrier fences are needed, and the pack is one
+    component-axis stack + one transpose copy.  Identical output
+    layout: (C, (NL-1)*32), entry (i, m, e, c) at lane
+    i*32 + m*8 + e*2 + c."""
+    nl, C = vp.shape
+    args = (jnp.broadcast_to(p[None, :], (nl - 1, C)),
+            vp[:-1], vs[:-1], rho[:-1], vp[1:], vs[1:], rho[1:])
+    mats = _interface_coeffs(*args)            # 4 x 4 x (re, im)
+    comps = []
+    for mat in mats:
+        for entry in mat:
+            comps.append(jnp.broadcast_to(entry[0], (nl - 1, C)))
+            comps.append(jnp.broadcast_to(entry[1], (nl - 1, C)))
+    packed = jnp.stack(comps, axis=0)          # (32, NL-1, C)
+    packed = packed.transpose(2, 1, 0).astype(jnp.float32)
+    return packed.reshape(C, (nl - 1) * 32)
+
+
+def chain_scalars_xla_t(p, h, vp, vs, wave_type):
+    """:func:`chain_scalars_xla` on transposed (NL, C) layer arrays,
+    returned as 17 ROWS (17, C) [t0, hmat x8, nt x8] so the caller
+    can fold them into the single packed-operand concatenate."""
+    nl, C = h.shape
+    v = vp if wave_type == 0 else vs
+    qv = jnp.sqrt(jnp.maximum(1.0 / (v * v) - (p * p)[None, :], 0.0))
+    sgn_h = jnp.concatenate(
+        [h[:-1], -jnp.ones((1, C), h.dtype)], axis=0)
+    t0 = jnp.sum(sgn_h * qv, axis=0)
+    vp0, vs0 = vp[0], vs[0]
+    hmat = _displacement(p, vp0, vs0)
+    nt = _free_surface(p, vp0, vs0)
+    rows = [t0]
+    for m in hmat:
+        rows.extend(m)
+    for m in nt:
+        rows.extend(m)
+    return jnp.stack(rows, axis=0).astype(jnp.float32)   # (17, C)
+
+
 def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                                  fsamp, wave_type=0, fref=1.0,
-                                 nfreq_out=None, interpret=False):
+                                 nfreq_out=None, layout_t=False,
+                                 interpret=False):
     """Batched (cz, cr) transmission responses.
 
     h/vp/vs/rho/qp/qs : (C, NL) FLATTENED layer arrays (halfspace last)
@@ -612,7 +687,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     nfreq_out (< nsamp//2+1) — used by synrf_batch to skip lanes the
     Gauss low-pass makes negligible.
     """
-    C, nl = h.shape
+    C, nl = (h.shape[1], h.shape[0]) if layout_t else h.shape
     nfreq = nsamp // 2 + 1
     if nfreq_out is not None:
         nfreq = min(nfreq, int(nfreq_out))
@@ -625,6 +700,23 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     if (isinstance(qp, (int, float)) and isinstance(qs, (int, float))
             and os.environ.get('BAYHUNTER_RF_QCONST', '1') == '1'):
         q_const = (float(qp), float(qs))
+
+    dyn = 'branch' if DYNAMIC_NL is True else DYNAMIC_NL
+    coeff_xla = os.environ.get('BAYHUNTER_RF_COEFF_XLA', '1') == '1'
+    # transposed-layout packed path: requires the production kernel
+    # configuration (uniform Q + XLA coefficients/scalars, not the
+    # loop-mode props block); anything else transposes back up front
+    packed = (layout_t and q_const is not None and coeff_xla
+              and SCAL_XLA and dyn != 'loop')
+    if layout_t and not packed:
+        h, vp, vs, rho = (x.T for x in (h, vp, vs, rho))
+        layout_t = False
+
+    if packed:
+        return _resp_packed_t(h, vp, vs, rho, p, nl, C, nsamp, fsamp,
+                              wave_type, fref, nfreq, F, dyn, q_const,
+                              interpret)
+
     if isinstance(qp, (int, float)):
         qp = jnp.full((C, nl), float(qp), jnp.float32)
     if isinstance(qs, (int, float)):
@@ -658,8 +750,6 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
         args.insert(0, scal)
         in_specs.insert(0, spec(24))
 
-    dyn = 'branch' if DYNAMIC_NL is True else DYNAMIC_NL
-    coeff_xla = os.environ.get('BAYHUNTER_RF_COEFF_XLA', '1') == '1'
     if dyn == 'loop' and not coeff_xla:
         dyn = 'branch'   # the loop path reads XLA-packed coefficients
     if dyn == 'loop':
@@ -713,7 +803,75 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     outs = pl.pallas_call(
         functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
                           int(wave_type), float(fref), nfreq,
-                          dyn, coeff_xla, q_const, scal_xla),
+                          dyn, coeff_xla, q_const, scal_xla, False),
+        out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
+        grid=(Cp // C_TILE,),
+        in_specs=in_specs,
+        out_specs=[spec(F)] * 4,
+        interpret=interpret,
+    )(*args)
+    czr, czi, crr, cri = (o[:C, :nfreq] for o in outs)
+    return czr + 1j * czi, crr + 1j * cri
+
+
+def _resp_packed_t(h, vp, vs, rho, p, nl, C, nsamp, fsamp, wave_type,
+                   fref, nfreq, F, dyn, q_const, interpret):
+    """Transposed-layout (NL, C) driver: ONE per-chain operand pack.
+
+    The coefficient table, the per-chain scalars and the three layer
+    vectors the kernel reads (h/vp/vs — rho and Q are never read with
+    XLA coefficients + uniform Q) are computed full-lane in the
+    transposed layout and shipped as one (C, 3*NL+18) block
+    [h | vp | vs | p | scal] plus the (C, 640) coefficient table —
+    two relayout copies replace the row-major path's per-operand
+    packs."""
+    p = jnp.asarray(p, jnp.float32)
+    coefs = interface_coeffs_xla_t(p, vp, vs, rho)        # (C, 640)
+    scal_rows = chain_scalars_xla_t(p, h, vp, vs, wave_type)
+    width = 3 * nl + 18
+    pack = jnp.concatenate(
+        [h, vp, vs, p[None, :].astype(h.dtype), scal_rows.astype(
+            h.dtype)], axis=0).astype(jnp.float32).T      # (C, width)
+
+    Cp = -(-C // C_TILE) * C_TILE
+
+    def padc(x):
+        if Cp == C:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (Cp - C,) + x.shape[1:])],
+            axis=0)
+
+    args = [padc(coefs), padc(pack)]
+
+    def spec(w):
+        return pl.BlockSpec((C_TILE, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec((nl - 1) * 32), spec(width)]
+
+    if dyn:
+        # deepest consequential layer (see the row-major driver): with
+        # uniform Q the q-contrast terms are identically False
+        real = ((h[:-1] > 0.0)
+                | (vp[:-1] != vp[1:])
+                | (vs[:-1] != vs[1:])
+                | (rho[:-1] != rho[1:]))                  # (NL-1, C)
+        if Cp != C:
+            real = jnp.concatenate(
+                [real, jnp.broadcast_to(real[:, :1],
+                                        (nl - 1, Cp - C))], axis=1)
+        act = real.reshape(nl - 1, Cp // C_TILE, C_TILE).any(axis=2)
+        idx = jnp.arange(nl - 1, dtype=jnp.int32)
+        top = jnp.max(jnp.where(act, idx[:, None], 0),
+                      axis=0).astype(jnp.int32).reshape(1, -1)
+        args.insert(0, top)
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_resp_kernel, nl, nsamp, float(fsamp),
+                          int(wave_type), float(fref), nfreq,
+                          dyn, True, q_const, True, True),
         out_shape=[jax.ShapeDtypeStruct((Cp, F), jnp.float32)] * 4,
         grid=(Cp // C_TILE,),
         in_specs=in_specs,

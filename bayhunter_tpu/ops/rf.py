@@ -296,6 +296,22 @@ def flatten_model(h, vp, vs, rho):
     return h_f, vp_f, vs_f, rho_f
 
 
+def flatten_model_T(h, vp, vs, rho):
+    """:func:`flatten_model` on transposed (NL, C) layer arrays
+    (layer axis leading; the cumulative depth rides axis 0)."""
+    z_top = jnp.concatenate(
+        [jnp.zeros_like(h[:1]), jnp.cumsum(h, axis=0)[:-1]], axis=0)
+    z_bot = z_top + h
+    q_top = EARTH_R / (EARTH_R - z_top)
+    zf_top = EARTH_R * jnp.log(q_top)
+    zf_bot = EARTH_R * jnp.log(EARTH_R / (EARTH_R - z_bot))
+    h_f = zf_bot - zf_top
+    vp_f = vp * q_top
+    vs_f = vs * q_top
+    rho_f = rho / q_top
+    return h_f, vp_f, vs_f, rho_f
+
+
 def rho_vp(vp):
     """Berteussen/Gardner density-velocity relation (model.cpp:150-165)."""
     return (0.77 + 0.32 * vp
@@ -585,10 +601,15 @@ def synrf(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp, tshift,
 
 def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
                 tshift, nsv, poisson, wave_type=P_WAVE, fref=1.0,
-                flattening=True, interpret=False):
+                flattening=True, layout_t=False, interpret=False):
     """Batched RF synthesis through the pallas transmission-response
     kernel (ops/pallas_rf.py): layer arrays (C, NL), ``nsv``/``poisson``
     per chain; returns rf (C, nsamp).
+
+    ``layout_t``: layer arrays arrive TRANSPOSED (NL, C) — the
+    chains-on-lanes step pipeline; the flattening and the kernel
+    operand pack then run full-lane with chains on the 128-wide axis
+    (see transmission_response_pallas packed mode).
 
     Deconvolution and the inverse FFT stay in XLA — only the layer
     recursion (the hot loop) runs in VMEM."""
@@ -596,14 +617,17 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
 
     rdtype = h.dtype
     cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
-    C = h.shape[0]
+    C = h.shape[1] if layout_t else h.shape[0]
     slowness = jnp.asarray(p_sdeg * DEG_PER_KM, rdtype)
     nsv = jnp.broadcast_to(jnp.asarray(nsv, rdtype), (C,))
     poisson = jnp.broadcast_to(jnp.asarray(poisson, rdtype), (C,))
     vp_top = nsv * jnp.sqrt((1.0 - poisson) / (0.5 - poisson))
 
     if flattening:
-        h, vp, vs, rho = jax.vmap(flatten_model)(h, vp, vs, rho)
+        if layout_t:
+            h, vp, vs, rho = flatten_model_T(h, vp, vs, rho)
+        else:
+            h, vp, vs, rho = jax.vmap(flatten_model)(h, vp, vs, rho)
 
     # the Gauss low-pass exp(-(w/2a)^2) suppresses lanes beyond
     # w = 6*gauss_a by < e^-9: skip them in the transmission kernel
@@ -618,7 +642,7 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
         h, vp, vs, rho, qp, qs,
         jnp.broadcast_to(slowness, (C,)), nsamp, fsamp,
         wave_type=wave_type, fref=fref, nfreq_out=cut,
-        interpret=interpret)
+        layout_t=layout_t, interpret=interpret)
 
     # inverse transform: with the Gauss-cutoff spectrum only `cut`
     # of nfreq bins are nonzero, so the irfft collapses to two tiny

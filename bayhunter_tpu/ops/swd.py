@@ -370,6 +370,28 @@ def sphere_flatten(d, a, b, rho, iwave):
     return d_f, a_f, b_f, rho_f
 
 
+def sphere_flatten_T(d, a, b, rho, iwave):
+    """:func:`sphere_flatten` on transposed (NL, C) layer arrays
+    (layer axis leading; cumsum and the halfspace slot ride axis 0)."""
+    ones = jnp.ones_like(d[-1:])
+    d_eff = jnp.concatenate([d[:-1], ones], axis=0)
+    zb = jnp.cumsum(d_eff, axis=0)
+    zt = zb - d_eff
+    r0 = EARTH_R - zt
+    r1 = EARTH_R - zb
+    z0 = EARTH_R * jnp.log(EARTH_R / r0)
+    z1 = EARTH_R * jnp.log(EARTH_R / r1)
+    d_f = z1 - z0
+    tmp = (EARTH_R + EARTH_R) / (r0 + r1)
+    a_f = a * tmp
+    b_f = b * tmp
+    ex = -5.0 if iwave == 1 else -2.275
+    rho_f = rho * tmp ** ex
+    d_f = jnp.concatenate([d_f[:-1], jnp.zeros_like(d_f[-1:])],
+                          axis=0)
+    return d_f, a_f, b_f, rho_f
+
+
 # --------------------------------------------------------------------------
 # period-parallel root search
 # --------------------------------------------------------------------------
@@ -771,7 +793,7 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          anchor_halfwidth=64, warm_trips_cap=None,
                          anchor_trips_cap=3, pert_newton=False,
                          slope_prev=None, exp_prev=None,
-                         return_slopes=False,
+                         return_slopes=False, layout_t=False,
                          interpret=False):
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
     ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R))
@@ -824,7 +846,7 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
         anchor_trips_cap=anchor_trips_cap, pert_newton=pert_newton,
         slope_prevs=None if slope_prev is None else [slope_prev],
         exp_prevs=None if exp_prev is None else [exp_prev],
-        interpret=interpret)
+        layout_t=layout_t, interpret=interpret)
     return out[0] if return_slopes else out[0][:3]
 
 
@@ -835,16 +857,41 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                       anchor_halfwidth=64, warm_trips_cap=None,
                       anchor_trips_cap=3, pert_newton=False,
                       slope_prevs=None, exp_prevs=None,
-                      interpret=False):
+                      layout_t=False, interpret=False):
     """Shared body of surfdisp_roots_batch{,_grouped}: one bracketing
     + refinement pipeline over the concatenation of every target's
-    phase-velocity lanes."""
+    phase-velocity lanes.
+
+    ``layout_t``: the layer arrays arrive TRANSPOSED (NL, C) — the
+    chains-on-lanes step pipeline.  Supported end-to-end only on the
+    production warm path (walker + in-kernel Newton); any other
+    configuration transposes back up front and runs the row-major
+    code (correctness fallback, 4 relayout copies)."""
     from bayhunter_tpu.ops.pallas_secular import (dltar1_pallas,
                                                   dltar4_pallas)
 
     dtype = h.dtype
-    C = h.shape[0]
     ngroups = len(periods_list)
+    if layout_t:
+        # the T fast path needs the fused walker with its in-kernel
+        # prepass — every other arm dispatches XLA-level secular
+        # calls that read (C, NL) layer rows
+        n_lanes = sum((2 if g > 0 else 1) * int(p.shape[0])
+                      for p, g in zip(periods_list, igrs))
+        walker_ok = (
+            c_prevs is not None
+            and os.environ.get('BAYHUNTER_WARM_SOLVER',
+                               'walk') == 'walk'
+            and dtype == jnp.float32 and n_lanes <= 128
+            and os.environ.get('BAYHUNTER_WALK_NEWTON', '1') == '1'
+            and os.environ.get('BAYHUNTER_WALK_COMPACT', '1') == '1'
+            and (not anchor_warm
+                 or os.environ.get('BAYHUNTER_DIM_PREPASS',
+                                   'newton') == 'newton'))
+        if not walker_ok:
+            h, vp, vs, rho = (x.T for x in (h, vp, vs, rho))
+            layout_t = False
+    C = h.shape[1] if layout_t else h.shape[0]
     if nrefine is None:
         # the closing secant polish makes one sign pass (bracket
         # dc/16) sufficient for phase solves; group solves difference
@@ -855,10 +902,13 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
             else (NREFINE_F32 or 1)
 
     if iflsph == 1:
-        d, a, b, rho_w = jax.vmap(
-            lambda hh, aa, bb, rr: sphere_flatten(hh, aa, bb, rr,
-                                                  iwave))(h, vp, vs,
-                                                          rho)
+        if layout_t:
+            d, a, b, rho_w = sphere_flatten_T(h, vp, vs, rho, iwave)
+        else:
+            d, a, b, rho_w = jax.vmap(
+                lambda hh, aa, bb, rr: sphere_flatten(hh, aa, bb, rr,
+                                                      iwave))(h, vp,
+                                                              vs, rho)
     else:
         d, a, b, rho_w = h, vp, vs, rho
 
@@ -871,23 +921,42 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
     # f32 tiles as T(8, 128) with 127/128 lanes dead, so the Newton
     # chain alone was ~0.1 ms/solve at 10,240 chains (profiled as the
     # largest single XLA-tail op of a production step) — flat 1-D
-    # arrays tile full lanes, ~100x fewer vregs per op.
-    solid = b > 0.01
-    cand = jnp.where(solid, b, a)
-    jmn = jnp.argmin(cand, axis=-1, keepdims=True)
-    at_mn = jnp.arange(cand.shape[-1])[None, :] == jmn
-    zero = jnp.zeros((), cand.dtype)
+    # arrays tile full lanes, ~100x fewer vregs per op.  In the
+    # transposed layout every op here is full-lane natively and no
+    # barrier fences are needed at all.
+    if layout_t:
+        solid = b > 0.01                           # (NL, C)
+        cand = jnp.where(solid, b, a)
+        jmn = jnp.argmin(cand, axis=0)             # (C,)
+        at_mn = (jnp.arange(cand.shape[0])[:, None]
+                 == jmn[None, :])
+        zero = jnp.zeros((), cand.dtype)
 
-    def _pick(x):
-        return jnp.sum(jnp.where(at_mn, x, zero), axis=-1)   # (C,)
+        def _pick(x):
+            return jnp.sum(jnp.where(at_mn, x, zero), axis=0)
 
-    betmn, a_mn, b_mn, jsol = jax.lax.optimization_barrier(
-        (_pick(cand), _pick(a), _pick(b),
-         jnp.any(at_mn & solid, axis=-1).astype(cand.dtype)))
-    cc1 = jnp.where(jsol > 0.5, gtsolh(a_mn, b_mn), betmn)
-    cm = jax.lax.optimization_barrier(
-        (0.95 * 0.90 * cc1).astype(dtype))[:, None]   # (C, 1)
-    betmx = jnp.max(b, axis=-1, keepdims=True)
+        betmn, a_mn, b_mn = _pick(cand), _pick(a), _pick(b)
+        jsol = jnp.any(at_mn & solid, axis=0)
+        cc1 = jnp.where(jsol, gtsolh(a_mn, b_mn), betmn)
+        cm = (0.95 * 0.90 * cc1).astype(dtype)[:, None]
+        betmx = jnp.max(b, axis=0)[:, None]
+    else:
+        solid = b > 0.01
+        cand = jnp.where(solid, b, a)
+        jmn = jnp.argmin(cand, axis=-1, keepdims=True)
+        at_mn = jnp.arange(cand.shape[-1])[None, :] == jmn
+        zero = jnp.zeros((), cand.dtype)
+
+        def _pick(x):
+            return jnp.sum(jnp.where(at_mn, x, zero), axis=-1)  # (C,)
+
+        betmn, a_mn, b_mn, jsol = jax.lax.optimization_barrier(
+            (_pick(cand), _pick(a), _pick(b),
+             jnp.any(at_mn & solid, axis=-1).astype(cand.dtype)))
+        cc1 = jnp.where(jsol > 0.5, gtsolh(a_mn, b_mn), betmn)
+        cm = jax.lax.optimization_barrier(
+            (0.95 * 0.90 * cc1).astype(dtype))[:, None]   # (C, 1)
+        betmx = jnp.max(b, axis=-1, keepdims=True)
 
     def secular(wvno, omega):
         shape = wvno.shape                            # (C, ...)
@@ -1154,7 +1223,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                 newton_iters=walk_newton_iters,
                 newton_maxshift=3.0 * anchor_halfwidth * DDC,
                 slope_prev=sl_prev, exp_prev=ex_prev,
-                interpret=interpret)
+                layout_t=layout_t, interpret=interpret)
         else:
             lo, found = _ring_brackets_b(omegas, cp, cm, betmx,
                                          secular, warm_halfwidth,

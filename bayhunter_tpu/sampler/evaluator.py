@@ -65,6 +65,12 @@ class EvalBundle(typing.NamedTuple):
     # when the SWD solve can use the pallas kernel (f32, TPU devices);
     # signature mirrors eval_full with (C, ...) arrays
     eval_full_batch: typing.Callable = None
+    # transposed-layout variant: model arrays arrive (NL, C) with
+    # chains on the 128-wide lane axis (the chains-on-lanes step
+    # pipeline, ops/voronoi.py T variants) — every model-vector op
+    # and solver operand pack runs full-lane without barrier fences.
+    # Present when every configured target supports the T fast path
+    eval_full_batch_t: typing.Callable = None
 
     # old 3-output protocol (cold start), for convenience in tests
     def __call__(self, vs, z, n, vpvs, noise):
@@ -539,7 +545,106 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         misfits = jnp.where(valid[:, None], misfits, MISFIT_SENTINEL)
         return logL, misfits.astype(dtype), valid, tuple(new_cache)
 
+    # ------------------------------------------------------------------
+    # transposed-layout batch path: model arrays (NL, C), chains on
+    # lanes.  The voronoi conversion and the solver operand packs run
+    # full-lane natively; the SWD solve ships the walker ONE stacked
+    # props array and the RF kernel ONE per-chain operand pack.
+    # ------------------------------------------------------------------
+
+    def _forward_batch_th(spec, ht, vpt, vst, rhot, c_prev, ring_width,
+                          dim_move=False, pert_newton=False,
+                          slope_prev=None, exp_prev=None):
+        """(NL, C) variant of _forward_batch.  SWD and pallas-RF
+        targets consume the transposed layout directly; anything else
+        transposes back and reuses the row-major forward."""
+        C = ht.shape[1]
+        if spec.kind == 'rf' and pallas_rf:
+            from bayhunter_tpu.ops.rf import synrf_batch
+            qp, qs = 500.0, 225.0
+            vpvs0 = vpt[0] / vst[0]
+            poisson = (2.0 - vpvs0 ** 2) / (2.0 - 2.0 * vpvs0 ** 2)
+            nsv = vst[0] if spec.nsv is None \
+                else jnp.full((C,), spec.nsv, dtype)
+            rf_t = synrf_batch(ht, vpt, vst, rhot, qp, qs, spec.p,
+                               spec.gauss_a, spec.nsamp, spec.fsamp,
+                               spec.tshift, nsv, poisson,
+                               wave_type=spec.wave_type,
+                               layout_t=True, interpret=interpret)
+            y = rf_t[:, :spec.ndata]
+            return (y, jnp.all(jnp.isfinite(y), axis=-1),
+                    jnp.zeros((C, 0), dtype),
+                    jnp.zeros((C, 0), dtype),
+                    jnp.zeros((C, 0), dtype))
+        if spec.kind == 'swd':
+            from bayhunter_tpu.ops.swd import surfdisp_roots_batch
+            cap = (_DIM_TRIPS_CAP or _WARM_TRIPS_CAP) if dim_move \
+                else _WARM_TRIPS_CAP
+            cap = cap if c_prev is not None else None
+            cg, err, roots, slopes, exps = surfdisp_roots_batch(
+                ht, vpt, vst, rhot, spec.periods, c_prev=c_prev,
+                iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
+                iflsph=spec.flsph, warm_halfwidth=ring_width,
+                anchor_warm=dim_move, warm_trips_cap=cap,
+                pert_newton=pert_newton, slope_prev=slope_prev,
+                exp_prev=exp_prev, return_slopes=True,
+                layout_t=True, interpret=interpret)
+            if spec.interp_x is not None:
+                y = jax.vmap(lambda cc: jnp.interp(
+                    spec.interp_x, spec.periods, cc))(cg)
+            else:
+                y = cg
+            return y, jnp.logical_not(err), roots, slopes, exps
+        return _forward_batch(spec, ht.T, vpt.T, vst.T, rhot.T,
+                              c_prev, ring_width, dim_move,
+                              pert_newton, slope_prev, exp_prev)
+
+    def eval_full_batch_t(vs_t, z_t, n, vpvs, noise, cache, cell,
+                          ring_width=16, dim_move=False,
+                          pert_newton=False):
+        """Batched eval_full on TRANSPOSED (NL, C) model arrays.
+        ``noise``/``cell`` and everything derived from synthetic data
+        keep the (C, ...) layout (data axes are already lane-wide)."""
+        from bayhunter_tpu.ops.voronoi import voronoi_to_layers_T
+        C = vs_t.shape[1]
+        ht, vpt, vst, rhot = voronoi_to_layers_T(vs_t, z_t, n, vpvs,
+                                                 mantle=mantle)
+        logL = jnp.zeros((C,), dtype)
+        misfits = []
+        valid = jnp.ones((C,), bool)
+        new_cache = []
+        for i, spec in enumerate(specs):
+            c_prev = cache[i][1] if spec.kind == 'swd' else None
+            use_sl = spec.kind == 'swd' and (
+                (_SLOPE_CACHE and pert_newton and not dim_move)
+                or (_DIM_SLOPE_CACHE and dim_move))
+            slope_prev = cache[i][2] if use_sl else None
+            exp_prev = cache[i][3] if use_sl and dim_move else None
+            y, tvalid, roots, slopes, exps = _forward_batch_th(
+                spec, ht, vpt, vst, rhot, c_prev, ring_width,
+                dim_move, pert_newton, slope_prev, exp_prev)
+            new_cache.append((y, roots, slopes, exps))
+
+            yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \
+                else spec.yobs
+            ydiff = jnp.where(tvalid[:, None], y - yobs, 0.0)
+            misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2, axis=-1)))
+            logL = logL + jax.vmap(
+                lambda yd, c0, s0: _loglike(spec, yd, c0, s0)
+            )(ydiff, noise[:, 2 * i], noise[:, 2 * i + 1])
+            valid = valid & tvalid
+
+        valid = valid & jnp.isfinite(logL)
+        misfits = jnp.stack(misfits + [sum(misfits)], axis=-1)
+        logL = jnp.where(valid, logL, LOGL_SENTINEL)
+        misfits = jnp.where(valid[:, None], misfits, MISFIT_SENTINEL)
+        return logL, misfits.astype(dtype), valid, tuple(new_cache)
+
     use_batch = bool(use_batch_swd) and dtype == jnp.float32
+    # the T path duplicates the grouped-solve dispatch nowhere: with
+    # grouped SWD solves configured the chain keeps the row-major path
+    use_batch_t = use_batch and not swd_group_of
     return EvalBundle(eval_full, eval_cold, eval_noise, ntargets,
                       specs,
-                      eval_full_batch if use_batch else None)
+                      eval_full_batch if use_batch else None,
+                      eval_full_batch_t if use_batch_t else None)
