@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-from bayhunter_tpu.ops.voronoi import (model_is_valid, sort_by_depth,
+from bayhunter_tpu.ops.voronoi import (model_is_valid,
+                                       model_is_valid_T,
+                                       sort_by_depth, sort_by_depth_T,
                                        to_reference_vector)
 
 # move ids
@@ -634,6 +636,249 @@ def build_sampler(eval_fn, cfg, mesh=None):
             swap_accepted=state.swap_accepted,
             swap_proposed=state.swap_proposed)
 
+    # ------------------------------------------------------------------
+    # transposed-layout (NL, C) batch step — chains on the 128-wide
+    # LANE axis.  A (C, NL) f32 array tiles T(8, 128) with the 21-wide
+    # minor dim padded to 128 lanes (6x vreg + HBM cost on every op);
+    # transposing once per step runs the whole propose -> voronoi ->
+    # validity -> operand-pack chain full-lane with NO barrier fences,
+    # and the solver kernels take the transposed operands directly
+    # (walker stacked props, RF packed block).  Per-chain randoms stay
+    # on the vmapped jax.random path for bit-compatibility with the
+    # row-major step.  BAYHUNTER_STEP_T=0 restores the row-major
+    # batch path for A/B.
+    # ------------------------------------------------------------------
+
+    idx_col = jnp.arange(nl)[:, None]                   # (NL, 1)
+
+    def _split4(keys):
+        ks = jax.vmap(lambda k: random.split(k, 4))(keys)
+        return ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+    def _normal_b(keys):
+        return jax.vmap(lambda k: random.normal(k, dtype=dtype))(keys)
+
+    def _pick_T(x_t, ind):
+        """x_t[ind[c], c] as a one-hot sublane reduction -> (C,)."""
+        return jnp.sum(jnp.where(idx_col == ind[None, :], x_t,
+                                 jnp.zeros((), x_t.dtype)), axis=0)
+
+    def _move_vs_T(vs_t, z_t, st, k1, k2):
+        ind = jax.vmap(
+            lambda k, m: random.randint(k, (), 0, m))(k1, st.n)
+        delta = _normal_b(k2) * st.propdist[:, 0]
+        vs_p = vs_t + jnp.where(idx_col == ind[None, :],
+                                delta[None, :], zero)
+        return vs_p, z_t, st.n, jnp.zeros_like(delta)
+
+    def _move_z_T(vs_t, z_t, st, k1, k2):
+        ind = jax.vmap(
+            lambda k, m: random.randint(k, (), 0, m))(k1, st.n)
+        delta = _normal_b(k2) * st.propdist[:, 1]
+        z_p = z_t + jnp.where(idx_col == ind[None, :],
+                              delta[None, :], zero)
+        return vs_t, z_p, st.n, jnp.zeros_like(delta)
+
+    def _move_birth_T(vs_t, z_t, st, k1, k2):
+        z_birth = jax.vmap(
+            lambda k: random.uniform(k, (), dtype, zmin, zmax))(k1)
+        dist = jnp.where(idx_col < st.n[None, :],
+                         jnp.abs(z_t - z_birth[None, :]), jnp.inf)
+        vs_before = _pick_T(vs_t, jnp.argmin(dist, axis=0))
+        vs_birth = vs_before + _normal_b(k2) * st.propdist[:, 2]
+        slot = jnp.minimum(st.n, nl - 1)
+        at_slot = idx_col == slot[None, :]
+        vs_p = jnp.where(at_slot, vs_birth[None, :], vs_t)
+        z_p = jnp.where(at_slot, z_birth[None, :], z_t)
+        dvs2 = jnp.square(vs_birth - vs_before)
+        return vs_p, z_p, st.n + 1, dvs2
+
+    def _move_death_T(vs_t, z_t, st, k1, k2):
+        ind = jax.vmap(
+            lambda k, m: random.randint(k, (), 0, m))(k1, st.n)
+        z_before = _pick_T(z_t, ind)
+        vs_before = _pick_T(vs_t, ind)
+        vs_shift = jnp.concatenate([vs_t[1:], vs_t[-1:]], axis=0)
+        z_shift = jnp.concatenate([z_t[1:], z_t[-1:]], axis=0)
+        above = idx_col >= ind[None, :]
+        vs_p = jnp.where(above, vs_shift, vs_t)
+        z_p = jnp.where(above, z_shift, z_t)
+        n_new = st.n - 1
+        dist = jnp.where(idx_col < n_new[None, :],
+                         jnp.abs(z_p - z_before[None, :]), jnp.inf)
+        vs_after = _pick_T(vs_p, jnp.argmin(dist, axis=0))
+        dvs2 = jnp.square(vs_after - vs_before)
+        return vs_p, z_p, n_new, dvs2
+
+    def _move_vpvs_B(st, k2):
+        return st.vpvs + _normal_b(k2) * st.propdist[:, 4]
+
+    def _valid_noise_b(noise_p):
+        if not noiseinds.size:
+            return jnp.ones(noise_p.shape[0], bool)
+        ok = (noise_p >= noise_lo_j[None, :]) \
+            & (noise_p <= noise_hi_j[None, :])
+        return jnp.all(ok, axis=1)
+
+    def _valid_vpvs_b(vpvs_p):
+        if not cfg.vpvs_inverted:
+            return jnp.ones(vpvs_p.shape[0], bool)
+        lo, hi = cfg.vpvs_prior
+        return (vpvs_p >= lo) & (vpvs_p <= hi)
+
+    def propose_T(states, vs_t, z_t, move_id):
+        """Transposed-layout :func:`propose` with a STATIC move id;
+        same move algebra, randoms bit-identical to the vmapped
+        row-major path (identical per-chain jax.random calls)."""
+        key, k1, k2, k_u = _split4(states.key)
+        noise_p = states.noise
+        vpvs_p = states.vpvs
+        dvs2 = jnp.zeros(states.n.shape, dtype)
+        if move_id == MOVE_VS:
+            vs_p, z_p, n_p, dvs2 = _move_vs_T(vs_t, z_t, states,
+                                              k1, k2)
+        elif move_id == MOVE_Z:
+            vs_p, z_p, n_p, dvs2 = _move_z_T(vs_t, z_t, states,
+                                             k1, k2)
+        elif move_id == MOVE_BIRTH:
+            vs_p, z_p, n_p, dvs2 = _move_birth_T(vs_t, z_t, states,
+                                                 k1, k2)
+        elif move_id == MOVE_DEATH:
+            vs_p, z_p, n_p, dvs2 = _move_death_T(vs_t, z_t, states,
+                                                 k1, k2)
+        elif move_id == MOVE_NOISE:
+            pick = jax.vmap(lambda k: random.randint(
+                k, (), 0, len(noiseinds)))(k1)
+            ind = jnp.sum(jnp.where(
+                jnp.arange(len(noiseinds))[None, :] == pick[:, None],
+                noiseinds_j[None, :], 0), axis=1)
+            delta = _normal_b(k2) * states.propdist[:, 3]
+            noise_p = states.noise + jnp.where(
+                jnp.arange(n_noise)[None, :] == ind[:, None],
+                delta[:, None], zero)
+            vs_p, z_p, n_p = vs_t, z_t, states.n
+        elif move_id == MOVE_VPVS:
+            vpvs_p = _move_vpvs_B(states, k2)
+            vs_p, z_p, n_p = vs_t, z_t, states.n
+        else:
+            raise ValueError('propose_T requires a static move id')
+
+        if move_id not in (MOVE_VS, MOVE_NOISE, MOVE_VPVS):
+            vs_p, z_p = sort_by_depth_T(vs_p, z_p, n_p)
+
+        if move_id == MOVE_NOISE:
+            valid = _valid_noise_b(noise_p)
+        elif move_id == MOVE_VPVS:
+            valid = _valid_vpvs_b(vpvs_p)
+        else:
+            valid = model_is_valid_T(vs_p, z_p, n_p, states.vpvs,
+                                     priors_dict, cfg.thickmin,
+                                     cfg.lvz, cfg.hvz,
+                                     mantle=cfg.mantle)
+        u = jnp.log(jax.vmap(
+            lambda k: random.uniform(k, dtype=dtype))(k_u))
+        return dict(key=key, vs_t=vs_p, z_t=z_p, n=n_p,
+                    noise=noise_p, vpvs=vpvs_p, dvs2=dvs2,
+                    valid=valid, u=u)
+
+    def propose_dim_T(states, vs_t, z_t):
+        """Transposed-layout :func:`propose_dim` (per-chain fair
+        birth/death mixture)."""
+        ks = jax.vmap(lambda k: random.split(k, 5))(states.key)
+        key, k1, k2, k_coin, k_u = (ks[:, i] for i in range(5))
+        coin = jax.vmap(random.bernoulli)(k_coin)
+
+        vs_b, z_b, n_b, dvs2_b = _move_birth_T(vs_t, z_t, states,
+                                               k1, k2)
+        vs_d, z_d, n_d, dvs2_d = _move_death_T(vs_t, z_t, states,
+                                               k1, k2)
+        coin_r = coin[None, :]
+        vs_p = jnp.where(coin_r, vs_b, vs_d)
+        z_p = jnp.where(coin_r, z_b, z_d)
+        n_p = jnp.where(coin, n_b, n_d)
+        dvs2 = jnp.where(coin, dvs2_b, dvs2_d)
+
+        vs_p, z_p = sort_by_depth_T(vs_p, z_p, n_p)
+        valid = model_is_valid_T(vs_p, z_p, n_p, states.vpvs,
+                                 priors_dict, cfg.thickmin, cfg.lvz,
+                                 cfg.hvz, mantle=cfg.mantle)
+        u = jnp.log(jax.vmap(
+            lambda k: random.uniform(k, dtype=dtype))(k_u))
+        sign = jnp.where(coin, jnp.asarray(1.0, dtype),
+                         jnp.asarray(-1.0, dtype))
+        return dict(key=key, vs_t=vs_p, z_t=z_p, n=n_p,
+                    noise=states.noise, vpvs=states.vpvs, dvs2=dvs2,
+                    valid=valid, u=u, dim_sign=sign)
+
+    def accept_T(states, move_id, prop, logL_p, misfits_p, fvalid,
+                 cache_p, vs_t, z_t):
+        """Transposed-layout :func:`accept_update`: identical
+        acceptance rule, counters and adaptation, batch-coded; the
+        model selects run in (NL, C) and transpose back once."""
+        C = states.n.shape[0]
+        theta = states.propdist[:, 2]
+        log_a_birth = jnp.log(theta * jnp.sqrt(2.0 * jnp.pi) / dv)
+        b_term = prop['dvs2'] / (2.0 * jnp.square(theta))
+        alpha = states.beta * (logL_p - states.logL)
+        if 'dim_sign' in prop:
+            alpha = alpha + prop['dim_sign'] * (log_a_birth + b_term)
+        elif move_id == MOVE_BIRTH:
+            alpha = alpha + log_a_birth + b_term
+        elif move_id == MOVE_DEATH:
+            alpha = alpha - log_a_birth - b_term
+
+        accept = (prop['u'] < alpha) & prop['valid'] & fvalid
+        acc_r = accept[None, :]
+
+        vs_new = jnp.where(acc_r, prop['vs_t'], vs_t)
+        z_new = jnp.where(acc_r, prop['z_t'], z_t)
+        vs_new, z_new = jax.lax.optimization_barrier((vs_new, z_new))
+
+        def sel(new, old):
+            a = accept.reshape((C,) + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
+
+        paridx = int(PARIDX[move_id])
+        onehot = jnp.asarray(np.arange(5) == paridx)
+        proposed = states.proposed + jnp.where(
+            prop['valid'][:, None], onehot[None, :], False)
+        accepted = states.accepted + jnp.where(
+            accept[:, None], onehot[None, :], False)
+        fwdfail = states.fwdfail + jnp.where(
+            (prop['valid'] & jnp.logical_not(fvalid))[:, None],
+            onehot[None, :], False)
+
+        do_adapt = (jnp.mod(states.iiter, 1000) == 0) \
+            & jnp.all((proposed > 0) | ~active_slots_j[None, :],
+                      axis=1)
+        rates = accepted / jnp.maximum(proposed, 1) * 100.0
+        factor = jnp.where(rates < acc_lo, 0.95,
+                           jnp.where(rates > acc_hi, 1.05, 1.0))
+        factor = jnp.where(proposed > 0, factor, 1.0)
+        new_pd = states.propdist * factor.astype(dtype)
+        new_pd = jnp.where((rates < acc_lo) & (proposed > 0),
+                           jnp.maximum(new_pd, 0.001), new_pd)
+        propdist = jnp.where(do_adapt[:, None], new_pd,
+                             states.propdist)
+
+        return ChainState(
+            key=prop['key'],
+            vs=vs_new.T,
+            z=z_new.T,
+            n=jnp.where(accept, prop['n'], states.n),
+            vpvs=sel(prop['vpvs'], states.vpvs),
+            noise=sel(prop['noise'], states.noise),
+            logL=sel(logL_p, states.logL),
+            misfits=sel(misfits_p, states.misfits),
+            propdist=propdist,
+            accepted=accepted,
+            proposed=proposed,
+            iiter=states.iiter + 1,
+            cache=jax.tree_util.tree_map(sel, cache_p, states.cache),
+            cell=states.cell, fwdfail=fwdfail, beta=states.beta,
+            swap_accepted=states.swap_accepted,
+            swap_proposed=states.swap_proposed)
+
     def iterate(state, move_id):
         prop = propose(state, move_id)
         ring_width = _ring_width_for(move_id)
@@ -917,13 +1162,33 @@ def build_sampler(eval_fn, cfg, mesh=None):
 
         return lax.scan(chunk, states, None, length=n_snap)
 
+    use_step_t = os.environ.get('BAYHUNTER_STEP_T', '1') == '1'
+
     def _step_static(states, move_id):
         """One batched iteration with a STATIC (python int) move id —
         the traced body shared by step_fn and the fused cycles.
 
         Model moves use the evaluator's batch-first path when
         available (the SWD solve then reaches the pallas secular
-        kernel with chains tiled 8 per program instead of 1)."""
+        kernel with chains tiled 8 per program instead of 1); with
+        the transposed-layout evaluator present the whole
+        propose/voronoi/validity/pack chain runs chains-on-lanes
+        (propose_T/accept_T, BAYHUNTER_STEP_T=0 for A/B)."""
+        batch_eval_t = getattr(eval_fn, 'eval_full_batch_t', None)
+        if (use_step_t and isinstance(move_id, int)
+                and move_id != MOVE_NOISE and batch_eval_t is not None):
+            vs_t, z_t = jax.lax.optimization_barrier(
+                (states.vs.T, states.z.T))
+            prop = propose_T(states, vs_t, z_t, move_id)
+            newton = _pert_newton_for(move_id)
+            logL_p, misfits_p, fvalid, cache_p = batch_eval_t(
+                prop['vs_t'], prop['z_t'], prop['n'], prop['vpvs'],
+                prop['noise'], states.cache, states.cell,
+                ring_width=_ring_width_for(move_id, newton=newton),
+                dim_move=move_id in (MOVE_BIRTH, MOVE_DEATH),
+                pert_newton=newton)
+            return accept_T(states, move_id, prop, logL_p, misfits_p,
+                            fvalid, cache_p, vs_t, z_t)
         batch_eval = getattr(eval_fn, 'eval_full_batch', None)
         if (isinstance(move_id, int) and move_id != MOVE_NOISE
                 and batch_eval is not None):
@@ -946,6 +1211,18 @@ def build_sampler(eval_fn, cfg, mesh=None):
         """One batched dimension-slot iteration with the PER-CHAIN
         birth/death mixture (propose_dim): both directions share the
         single forward solve, so one traced body covers the slot."""
+        batch_eval_t = getattr(eval_fn, 'eval_full_batch_t', None)
+        if use_step_t and batch_eval_t is not None:
+            vs_t, z_t = jax.lax.optimization_barrier(
+                (states.vs.T, states.z.T))
+            prop = propose_dim_T(states, vs_t, z_t)
+            logL_p, misfits_p, fvalid, cache_p = batch_eval_t(
+                prop['vs_t'], prop['z_t'], prop['n'], prop['vpvs'],
+                prop['noise'], states.cache, states.cell,
+                ring_width=_ring_width_for(MOVE_BIRTH),
+                dim_move=True)
+            return accept_T(states, MOVE_BIRTH, prop, logL_p,
+                            misfits_p, fvalid, cache_p, vs_t, z_t)
         batch_eval = getattr(eval_fn, 'eval_full_batch', None)
         prop = jax.vmap(propose_dim)(states)
         rw = _ring_width_for(MOVE_BIRTH)
