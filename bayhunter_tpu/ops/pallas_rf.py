@@ -647,6 +647,11 @@ def interface_coeffs_xla_t(p, vp, vs, rho):
         for entry in mat:
             comps.append(jnp.broadcast_to(entry[0], (nl - 1, C)))
             comps.append(jnp.broadcast_to(entry[1], (nl - 1, C)))
+    # barrier between the ~600-op coefficient math and the pack:
+    # without it XLA roots the WHOLE chain in the 32-way concatenate
+    # fusion, which runs ~10x slower than math + concat separately
+    # (measured 0.73 ms vs 0.04 ms for the bare concat on-chip)
+    comps = jax.lax.optimization_barrier(tuple(comps))
     packed = jnp.stack(comps, axis=0)          # (32, NL-1, C)
     packed = packed.transpose(2, 1, 0).astype(jnp.float32)
     return packed.reshape(C, (nl - 1) * 32)
@@ -670,13 +675,16 @@ def chain_scalars_xla_t(p, h, vp, vs, wave_type):
         rows.extend(m)
     for m in nt:
         rows.extend(m)
+    # barrier: keep the scalar math out of the pack concatenate's
+    # fusion (see interface_coeffs_xla_t)
+    rows = jax.lax.optimization_barrier(tuple(rows))
     return jnp.stack(rows, axis=0).astype(jnp.float32)   # (17, C)
 
 
 def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
                                  fsamp, wave_type=0, fref=1.0,
                                  nfreq_out=None, layout_t=False,
-                                 interpret=False):
+                                 prep=None, interpret=False):
     """Batched (cz, cr) transmission responses.
 
     h/vp/vs/rho/qp/qs : (C, NL) FLATTENED layer arrays (halfspace last)
@@ -708,6 +716,9 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     # loop-mode props block); anything else transposes back up front
     packed = (layout_t and q_const is not None and coeff_xla
               and SCAL_XLA and dyn != 'loop')
+    if prep is not None and not packed:
+        raise ValueError('prep operands supplied but the packed '
+                         'kernel configuration is not active')
     if layout_t and not packed:
         h, vp, vs, rho = (x.T for x in (h, vp, vs, rho))
         layout_t = False
@@ -715,7 +726,7 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     if packed:
         return _resp_packed_t(h, vp, vs, rho, p, nl, C, nsamp, fsamp,
                               wave_type, fref, nfreq, F, dyn, q_const,
-                              interpret)
+                              interpret, prep=prep)
 
     if isinstance(qp, (int, float)):
         qp = jnp.full((C, nl), float(qp), jnp.float32)
@@ -815,23 +826,44 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
 
 
 def _resp_packed_t(h, vp, vs, rho, p, nl, C, nsamp, fsamp, wave_type,
-                   fref, nfreq, F, dyn, q_const, interpret):
+                   fref, nfreq, F, dyn, q_const, interpret,
+                   prep=None):
     """Transposed-layout (NL, C) driver: ONE per-chain operand pack.
 
     The coefficient table, the per-chain scalars and the three layer
     vectors the kernel reads (h/vp/vs — rho and Q are never read with
-    XLA coefficients + uniform Q) are computed full-lane in the
-    transposed layout and shipped as one (C, 3*NL+18) block
-    [h | vp | vs | p | scal] plus the (C, 640) coefficient table —
-    two relayout copies replace the row-major path's per-operand
-    packs."""
-    p = jnp.asarray(p, jnp.float32)
-    coefs = interface_coeffs_xla_t(p, vp, vs, rho)        # (C, 640)
-    scal_rows = chain_scalars_xla_t(p, h, vp, vs, wave_type)
-    width = 3 * nl + 18
-    pack = jnp.concatenate(
-        [h, vp, vs, p[None, :].astype(h.dtype), scal_rows.astype(
-            h.dtype)], axis=0).astype(jnp.float32).T      # (C, width)
+    XLA coefficients + uniform Q) are shipped as one
+    (C, 3*NL+18) block [h | vp | vs | p | scal] plus the (C, 640)
+    coefficient table — two relayout copies replace the row-major
+    path's per-operand packs.
+
+    ``prep``: the (coefs, pack) pair in TRANSPOSED layout from the
+    operand-prep kernel (ops/pallas_prep.py) — the production path;
+    everything including the flattening and the skip depth then
+    comes out of one pallas program and this driver only transposes.
+    Without it the operands are assembled from the XLA T-layout
+    helpers (the measured-slower arm, kept for A/B)."""
+    if prep is not None:
+        from bayhunter_tpu.ops.pallas_prep import pack_rows_padded
+        coefs_t, pack_t = prep
+        coefs = coefs_t.T                          # (C, 640)
+        pack = pack_t.T                            # (C, rows)
+        width = pack_rows_padded(nl)
+        depth_col = 3 * nl + 18
+    else:
+        p = jnp.asarray(p, jnp.float32)
+        coefs = interface_coeffs_xla_t(p, vp, vs, rho)    # (C, 640)
+        scal_rows = chain_scalars_xla_t(p, h, vp, vs, wave_type)
+        width = 3 * nl + 18
+        # barrier: the pack concatenate must not become the fusion
+        # root of the upstream voronoi/flattening math (see
+        # interface_coeffs_xla_t)
+        h, vp, vs = jax.lax.optimization_barrier((h, vp, vs))
+        pack = jnp.concatenate(
+            [h, vp, vs, p[None, :].astype(h.dtype),
+             scal_rows.astype(h.dtype)],
+            axis=0).astype(jnp.float32).T          # (C, width)
+        depth_col = None
 
     Cp = -(-C // C_TILE) * C_TILE
 
@@ -851,20 +883,29 @@ def _resp_packed_t(h, vp, vs, rho, p, nl, C, nsamp, fsamp, wave_type,
     in_specs = [spec((nl - 1) * 32), spec(width)]
 
     if dyn:
-        # deepest consequential layer (see the row-major driver): with
-        # uniform Q the q-contrast terms are identically False
-        real = ((h[:-1] > 0.0)
-                | (vp[:-1] != vp[1:])
-                | (vs[:-1] != vs[1:])
-                | (rho[:-1] != rho[1:]))                  # (NL-1, C)
-        if Cp != C:
-            real = jnp.concatenate(
-                [real, jnp.broadcast_to(real[:, :1],
-                                        (nl - 1, Cp - C))], axis=1)
-        act = real.reshape(nl - 1, Cp // C_TILE, C_TILE).any(axis=2)
-        idx = jnp.arange(nl - 1, dtype=jnp.int32)
-        top = jnp.max(jnp.where(act, idx[:, None], 0),
-                      axis=0).astype(jnp.int32).reshape(1, -1)
+        if depth_col is not None:
+            # per-chain depth row computed by the prep kernel
+            depth = args[1][:, depth_col]                 # (Cp,)
+            top = jnp.max(depth.reshape(Cp // C_TILE, C_TILE),
+                          axis=1).astype(jnp.int32).reshape(1, -1)
+        else:
+            # deepest consequential layer (see the row-major driver):
+            # with uniform Q the q-contrast terms are identically
+            # False
+            real = ((h[:-1] > 0.0)
+                    | (vp[:-1] != vp[1:])
+                    | (vs[:-1] != vs[1:])
+                    | (rho[:-1] != rho[1:]))              # (NL-1, C)
+            if Cp != C:
+                real = jnp.concatenate(
+                    [real, jnp.broadcast_to(real[:, :1],
+                                            (nl - 1, Cp - C))],
+                    axis=1)
+            act = real.reshape(nl - 1, Cp // C_TILE,
+                               C_TILE).any(axis=2)
+            idx = jnp.arange(nl - 1, dtype=jnp.int32)
+            top = jnp.max(jnp.where(act, idx[:, None], 0),
+                          axis=0).astype(jnp.int32).reshape(1, -1)
         args.insert(0, top)
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
 

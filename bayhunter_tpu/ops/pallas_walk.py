@@ -465,6 +465,10 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         # c = (t*C_TILE + s)*M + m in both layouts, so c0p/cm/bx
         # packs line up unchanged.
         props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
+        # barrier: keep the upstream voronoi math out of the stack
+        # concatenate's fusion (concat-rooted mega-fusions run ~10x
+        # slower than math + concat split; see interface_coeffs_xla_t)
+        props = jax.lax.optimization_barrier(tuple(props))
         pstack = jnp.stack(props, axis=0)            # (P, NL, C)
         if Cp != C:
             pstack = jnp.concatenate(

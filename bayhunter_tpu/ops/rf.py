@@ -623,7 +623,31 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
     poisson = jnp.broadcast_to(jnp.asarray(poisson, rdtype), (C,))
     vp_top = nsv * jnp.sqrt((1.0 - poisson) / (0.5 - poisson))
 
-    if flattening:
+    # transposed-layout operand-prep kernel (ops/pallas_prep.py): the
+    # flattening, interface-coefficient table, per-chain scalars and
+    # skip depth all run in ONE pallas program instead of ~0.7-0.9 ms
+    # of small XLA fusions/concats/copies.  Requires the packed resp
+    # kernel configuration (uniform Q + XLA coeffs/scalars, not loop
+    # mode) — the gates mirror transmission_response_pallas's
+    # ``packed`` decision; prep is simply skipped otherwise.
+    prep = None
+    if layout_t and os.environ.get('BAYHUNTER_RF_PREP_KERNEL',
+                                   '1') == '1':
+        from bayhunter_tpu.ops import pallas_rf as _prf
+        q_uniform = (isinstance(qp, (int, float))
+                     and isinstance(qs, (int, float))
+                     and os.environ.get('BAYHUNTER_RF_QCONST',
+                                        '1') == '1')
+        if (q_uniform and _prf.SCAL_XLA and _prf.DYNAMIC_NL != 'loop'
+                and os.environ.get('BAYHUNTER_RF_COEFF_XLA',
+                                   '1') == '1'):
+            from bayhunter_tpu.ops.pallas_prep import rf_operands_t
+            prep = rf_operands_t(
+                h, vp, vs, rho, float(p_sdeg) * DEG_PER_KM,
+                wave_type=wave_type, flattening=flattening,
+                interpret=interpret)
+
+    if flattening and prep is None:
         if layout_t:
             h, vp, vs, rho = flatten_model_T(h, vp, vs, rho)
         else:
@@ -642,7 +666,7 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
         h, vp, vs, rho, qp, qs,
         jnp.broadcast_to(slowness, (C,)), nsamp, fsamp,
         wave_type=wave_type, fref=fref, nfreq_out=cut,
-        layout_t=layout_t, interpret=interpret)
+        layout_t=layout_t, prep=prep, interpret=interpret)
 
     # inverse transform: with the Gauss-cutoff spectrum only `cut`
     # of nfreq bins are nonzero, so the irfft collapses to two tiny

@@ -609,6 +609,13 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         C = vs_t.shape[1]
         ht, vpt, vst, rhot = voronoi_to_layers_T(vs_t, z_t, n, vpvs,
                                                  mantle=mantle)
+        # materialize the conversion ONCE: its outputs feed the SWD
+        # pack, the RF pack, the flattening and the validity chain —
+        # unfenced, XLA duplicates the voronoi math into each
+        # consumer's fusion (and concat-rooted consumer fusions run
+        # ~10x slow; see ops/pallas_rf.interface_coeffs_xla_t)
+        ht, vpt, vst, rhot = jax.lax.optimization_barrier(
+            (ht, vpt, vst, rhot))
         logL = jnp.zeros((C,), dtype)
         misfits = []
         valid = jnp.ones((C,), bool)

@@ -118,7 +118,11 @@ def test_walker_layout_t_bitwise():
             assert np.array_equal(np.asarray(x), np.asarray(y)), iwave
 
 
-def test_synrf_batch_layout_t_bitwise():
+def test_synrf_batch_layout_t():
+    """Row-major vs transposed RF: the XLA-assembled T arm is
+    BITWISE; the operand-prep kernel arm (production default,
+    ops/pallas_prep.py — flattening/coefficients/scalars in-kernel)
+    matches to Mosaic-vs-XLA FMA-contraction tolerance."""
     from bayhunter_tpu.ops.rf import synrf_batch
     C = 8
     h, vs = _models(C, seed=4)
@@ -135,13 +139,28 @@ def test_synrf_batch_layout_t_bitwise():
                     jnp.asarray(vs.T), jnp.asarray(rho.T), 500.0,
                     225.0, 6.4, 1.0, 512, 5.0, 5.0, nsv, poisson,
                     wave_type=0, layout_t=True, interpret=True)
-    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=2e-6)
+    os.environ['BAYHUNTER_RF_PREP_KERNEL'] = '0'
+    try:
+        c = synrf_batch(jnp.asarray(h.T), jnp.asarray(vp.T),
+                        jnp.asarray(vs.T), jnp.asarray(rho.T), 500.0,
+                        225.0, 6.4, 1.0, 512, 5.0, 5.0, nsv, poisson,
+                        wave_type=0, layout_t=True, interpret=True)
+    finally:
+        os.environ.pop('BAYHUNTER_RF_PREP_KERNEL', None)
+    assert np.array_equal(np.asarray(a), np.asarray(c))
 
 
 def _run_steps(arm):
     from test_dim_reject_pin import (_bench_config_sampler,
                                      _grown_states)
     os.environ['BAYHUNTER_STEP_T'] = arm
+    # the bitwise-trajectory comparison needs the XLA-assembled RF
+    # operand arm: the prep KERNEL's flattening/coefficients contract
+    # FMAs differently from XLA (own tolerance test above), which
+    # could flip marginal accepts
+    os.environ['BAYHUNTER_RF_PREP_KERNEL'] = '0'
     try:
         sampler, eval_fn = _bench_config_sampler()
         states = _grown_states(sampler, eval_fn, 12)
@@ -151,6 +170,7 @@ def _run_steps(arm):
         return outs
     finally:
         os.environ.pop('BAYHUNTER_STEP_T', None)
+        os.environ.pop('BAYHUNTER_RF_PREP_KERNEL', None)
 
 
 def test_step_t_matches_row_major():
