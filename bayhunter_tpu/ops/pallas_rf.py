@@ -695,7 +695,13 @@ def transmission_response_pallas(h, vp, vs, rho, qp, qs, p, nsamp,
     nfreq_out (< nsamp//2+1) — used by synrf_batch to skip lanes the
     Gauss low-pass makes negligible.
     """
-    C, nl = (h.shape[1], h.shape[0]) if layout_t else h.shape
+    if prep is not None and h is None:
+        # unified-model-kernel callers ship no layer planes at all;
+        # the packed driver below reads only the prep operands
+        C = prep[0].shape[1]
+        nl = prep[0].shape[0] // 32 + 1
+    else:
+        C, nl = (h.shape[1], h.shape[0]) if layout_t else h.shape
     nfreq = nsamp // 2 + 1
     if nfreq_out is not None:
         nfreq = min(nfreq, int(nfreq_out))

@@ -432,7 +432,7 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                     iwave=2, ring_k=16, trips=2, nbisect=4,
                     newton_iters=0, newton_maxshift=0.0,
                     slope_prev=None, exp_prev=None, layout_t=False,
-                    interpret=False):
+                    pstack=None, top_chain=None, interpret=False):
     """Warm root solve via the walking kernel.
 
     h/vp/vs/rho : (C, NL); omegas/c_prev (C, R); cm/betmx (C, 1).
@@ -452,13 +452,21 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
     only valid for same-dimension proposals).
     """
     C, R = omegas.shape
-    nl = h.shape[0] if layout_t else h.shape[-1]
+    nprops_in = 3 if iwave == 1 else 4
+    nl = (pstack.shape[0] // nprops_in if pstack is not None
+          else (h.shape[0] if layout_t else h.shape[-1]))
     dtype = omegas.dtype
     M = max(1, LANES // R)
     G = C_TILE * M                       # chains per program
     Cp = -(-C // G) * G
-    pstack = None
-    if layout_t:
+    if pstack is not None:
+        # prebuilt stacked props from the unified model kernel
+        # (ops/pallas_prep.model_operands_t): ((P*NL), C) -> a FREE
+        # reshape to the (P, NL, C) stack the T path builds itself
+        if not layout_t:
+            raise ValueError('pstack requires layout_t')
+        pstack = pstack.reshape(nprops_in, nl, C)
+    if layout_t and pstack is None:
         # transposed (NL, C) props: ONE stack + ONE lane pad covers
         # all prop planes (the row-major path pays a reshape +
         # moveaxis copy PER prop); chain c maps to (t, s, m) with
@@ -470,11 +478,15 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         # slower than math + concat split; see interface_coeffs_xla_t)
         props = jax.lax.optimization_barrier(tuple(props))
         pstack = jnp.stack(props, axis=0)            # (P, NL, C)
-        if Cp != C:
-            pstack = jnp.concatenate(
-                [pstack, jnp.broadcast_to(
-                    pstack[..., :1],
-                    pstack.shape[:-1] + (Cp - C,))], axis=-1)
+    if layout_t and Cp != C:
+        pstack = jnp.concatenate(
+            [pstack, jnp.broadcast_to(
+                pstack[..., :1],
+                pstack.shape[:-1] + (Cp - C,))], axis=-1)
+        if top_chain is not None:
+            top_chain = jnp.concatenate(
+                [top_chain,
+                 jnp.broadcast_to(top_chain[:1], (Cp - C,))])
     if Cp != C:
         def padc(x):
             return jnp.concatenate(
@@ -528,10 +540,17 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         # (P, NL, Cp) -> (P, NL, T, C_TILE, M): a FREE reshape (the
         # split of the minor axis is row-major in both views)
         dprops = [pstack.reshape(nprops, nl, T, C_TILE, M)]
-        act_t = (pstack[0] > 0.0).reshape(nl, T, G).any(axis=2)
-        idx = jnp.arange(nl, dtype=jnp.int32)
-        top = jnp.max(jnp.where(act_t, idx[:, None], -1),
-                      axis=0).astype(jnp.int32).reshape(1, -1)
+        if top_chain is not None:
+            # per-chain skip depth from the model kernel: the
+            # per-program value is the group max (identical to the
+            # act-based reduction below)
+            top = jnp.max(top_chain.reshape(T, G),
+                          axis=1).astype(jnp.int32).reshape(1, -1)
+        else:
+            act_t = (pstack[0] > 0.0).reshape(nl, T, G).any(axis=2)
+            idx = jnp.arange(nl, dtype=jnp.int32)
+            top = jnp.max(jnp.where(act_t, idx[:, None], -1),
+                          axis=0).astype(jnp.int32).reshape(1, -1)
     else:
         props = (h, vs, rho) if iwave == 1 else (h, vp, vs, rho)
         if compact:

@@ -601,7 +601,8 @@ def synrf(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp, tshift,
 
 def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
                 tshift, nsv, poisson, wave_type=P_WAVE, fref=1.0,
-                flattening=True, layout_t=False, interpret=False):
+                flattening=True, layout_t=False, prep=None,
+                interpret=False):
     """Batched RF synthesis through the pallas transmission-response
     kernel (ops/pallas_rf.py): layer arrays (C, NL), ``nsv``/``poisson``
     per chain; returns rf (C, nsamp).
@@ -615,9 +616,19 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
     recursion (the hot loop) runs in VMEM."""
     from bayhunter_tpu.ops.pallas_rf import transmission_response_pallas
 
-    rdtype = h.dtype
+    if prep is not None:
+        # operands from the unified model kernel (ops/pallas_prep.
+        # model_operands_t): flattening, coefficients, scalars and
+        # skip depth are all inside ``prep``; the layer planes are
+        # neither needed nor (with the model kernel) ever built.
+        if not layout_t:
+            raise ValueError('prep operands require layout_t')
+        rdtype = prep[0].dtype
+        C = prep[0].shape[1]
+    else:
+        rdtype = h.dtype
+        C = h.shape[1] if layout_t else h.shape[0]
     cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
-    C = h.shape[1] if layout_t else h.shape[0]
     slowness = jnp.asarray(p_sdeg * DEG_PER_KM, rdtype)
     nsv = jnp.broadcast_to(jnp.asarray(nsv, rdtype), (C,))
     poisson = jnp.broadcast_to(jnp.asarray(poisson, rdtype), (C,))
@@ -630,9 +641,8 @@ def synrf_batch(h, vp, vs, rho, qp, qs, p_sdeg, gauss_a, nsamp, fsamp,
     # kernel configuration (uniform Q + XLA coeffs/scalars, not loop
     # mode) — the gates mirror transmission_response_pallas's
     # ``packed`` decision; prep is simply skipped otherwise.
-    prep = None
-    if layout_t and os.environ.get('BAYHUNTER_RF_PREP_KERNEL',
-                                   '1') == '1':
+    if prep is None and layout_t and os.environ.get(
+            'BAYHUNTER_RF_PREP_KERNEL', '1') == '1':
         from bayhunter_tpu.ops import pallas_rf as _prf
         q_uniform = (isinstance(qp, (int, float))
                      and isinstance(qs, (int, float))

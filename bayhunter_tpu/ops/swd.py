@@ -794,7 +794,7 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          anchor_trips_cap=3, pert_newton=False,
                          slope_prev=None, exp_prev=None,
                          return_slopes=False, layout_t=False,
-                         interpret=False):
+                         prep=None, interpret=False):
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
     ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R))
     — plus the roots' bracket slopes and log renormalization
@@ -846,8 +846,25 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
         anchor_trips_cap=anchor_trips_cap, pert_newton=pert_newton,
         slope_prevs=None if slope_prev is None else [slope_prev],
         exp_prevs=None if exp_prev is None else [exp_prev],
-        layout_t=layout_t, interpret=interpret)
+        layout_t=layout_t, prep=prep, interpret=interpret)
     return out[0] if return_slopes else out[0][:3]
+
+
+def t_walker_ok(n_lanes, have_cprev, anchor_warm, dtype):
+    """True when the transposed-layout fast path (fused walker with
+    in-kernel Newton prepass) will run for a solve of ``n_lanes``
+    total period lanes — the gate shared by :func:`_roots_batch_impl`
+    and the evaluator's model-kernel dispatch (the unified prep
+    operands are only consumable by the walker path)."""
+    return (have_cprev
+            and os.environ.get('BAYHUNTER_WARM_SOLVER',
+                               'walk') == 'walk'
+            and dtype == jnp.float32 and n_lanes <= 128
+            and os.environ.get('BAYHUNTER_WALK_NEWTON', '1') == '1'
+            and os.environ.get('BAYHUNTER_WALK_COMPACT', '1') == '1'
+            and (not anchor_warm
+                 or os.environ.get('BAYHUNTER_DIM_PREPASS',
+                                   'newton') == 'newton'))
 
 
 def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
@@ -857,7 +874,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                       anchor_halfwidth=64, warm_trips_cap=None,
                       anchor_trips_cap=3, pert_newton=False,
                       slope_prevs=None, exp_prevs=None,
-                      layout_t=False, interpret=False):
+                      layout_t=False, prep=None, interpret=False):
     """Shared body of surfdisp_roots_batch{,_grouped}: one bracketing
     + refinement pipeline over the concatenation of every target's
     phase-velocity lanes.
@@ -870,7 +887,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
     from bayhunter_tpu.ops.pallas_secular import (dltar1_pallas,
                                                   dltar4_pallas)
 
-    dtype = h.dtype
+    dtype = prep[0].dtype if prep is not None else h.dtype
     ngroups = len(periods_list)
     if layout_t:
         # the T fast path needs the fused walker with its in-kernel
@@ -878,20 +895,20 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         # calls that read (C, NL) layer rows
         n_lanes = sum((2 if g > 0 else 1) * int(p.shape[0])
                       for p, g in zip(periods_list, igrs))
-        walker_ok = (
-            c_prevs is not None
-            and os.environ.get('BAYHUNTER_WARM_SOLVER',
-                               'walk') == 'walk'
-            and dtype == jnp.float32 and n_lanes <= 128
-            and os.environ.get('BAYHUNTER_WALK_NEWTON', '1') == '1'
-            and os.environ.get('BAYHUNTER_WALK_COMPACT', '1') == '1'
-            and (not anchor_warm
-                 or os.environ.get('BAYHUNTER_DIM_PREPASS',
-                                   'newton') == 'newton'))
+        walker_ok = t_walker_ok(n_lanes, c_prevs is not None,
+                                anchor_warm, dtype)
         if not walker_ok:
+            if prep is not None:
+                raise ValueError(
+                    'model-kernel prep operands supplied but the '
+                    'transposed walker path is not active (caller '
+                    'gating must mirror t_walker_ok)')
             h, vp, vs, rho = (x.T for x in (h, vp, vs, rho))
             layout_t = False
-    C = h.shape[1] if layout_t else h.shape[0]
+    elif prep is not None:
+        raise ValueError('prep operands require layout_t')
+    C = prep[0].shape[1] if prep is not None \
+        else (h.shape[1] if layout_t else h.shape[0])
     if nrefine is None:
         # the closing secant polish makes one sign pass (bracket
         # dc/16) sufficient for phase solves; group solves difference
@@ -901,7 +918,26 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         nrefine = 3 if (dtype == jnp.float64 or any(igrs)) \
             else (NREFINE_F32 or 1)
 
-    if iflsph == 1:
+    if prep is not None:
+        # unified model-kernel operands (ops/pallas_prep.py
+        # model_operands_t): the flattening, cm/betmx and the walker
+        # prop stack were all computed in-kernel.  The individual
+        # planes are LAZY slices of the stacked props (dead code
+        # unless a non-walker consumer needs them; Love stacks carry
+        # no vp plane, so ``a`` stays unbound there).
+        props_flat, cm_row, bx_row, top_chain = prep
+        n_props = 3 if iwave == 1 else 4
+        nl_k = props_flat.shape[0] // n_props
+        d = props_flat[:nl_k]
+        if iwave == 1:
+            a = None
+            b = props_flat[nl_k:2 * nl_k]
+            rho_w = props_flat[2 * nl_k:]
+        else:
+            a = props_flat[nl_k:2 * nl_k]
+            b = props_flat[2 * nl_k:3 * nl_k]
+            rho_w = props_flat[3 * nl_k:]
+    elif iflsph == 1:
         if layout_t:
             d, a, b, rho_w = sphere_flatten_T(h, vp, vs, rho, iwave)
         else:
@@ -924,7 +960,10 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
     # arrays tile full lanes, ~100x fewer vregs per op.  In the
     # transposed layout every op here is full-lane natively and no
     # barrier fences are needed at all.
-    if layout_t:
+    if prep is not None:
+        cm = cm_row.astype(dtype)[:, None]          # (C, 1)
+        betmx = bx_row.astype(dtype)[:, None]
+    elif layout_t:
         solid = b > 0.01                           # (NL, C)
         cand = jnp.where(solid, b, a)
         jmn = jnp.argmin(cand, axis=0)             # (C,)
@@ -1223,7 +1262,10 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                 newton_iters=walk_newton_iters,
                 newton_maxshift=3.0 * anchor_halfwidth * DDC,
                 slope_prev=sl_prev, exp_prev=ex_prev,
-                layout_t=layout_t, interpret=interpret)
+                layout_t=layout_t,
+                pstack=None if prep is None else props_flat,
+                top_chain=None if prep is None else top_chain,
+                interpret=interpret)
         else:
             lo, found = _ring_brackets_b(omegas, cp, cm, betmx,
                                          secular, warm_halfwidth,

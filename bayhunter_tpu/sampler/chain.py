@@ -726,10 +726,16 @@ def build_sampler(eval_fn, cfg, mesh=None):
         lo, hi = cfg.vpvs_prior
         return (vpvs_p >= lo) & (vpvs_p <= hi)
 
-    def propose_T(states, vs_t, z_t, move_id):
+    def propose_T(states, vs_t, z_t, move_id, defer_valid=False):
         """Transposed-layout :func:`propose` with a STATIC move id;
         same move algebra, randoms bit-identical to the vmapped
-        row-major path (identical per-chain jax.random calls)."""
+        row-major path (identical per-chain jax.random calls).
+
+        ``defer_valid``: skip the model-validity computation
+        (``valid=None``) — the unified model kernel computes it
+        inside the forward evaluation (one pallas program instead of
+        the XLA voronoi+validity chain); _step_static stitches the
+        kernel's row back into the proposal.  Model moves only."""
         key, k1, k2, k_u = _split4(states.key)
         noise_p = states.noise
         vpvs_p = states.vpvs
@@ -770,6 +776,8 @@ def build_sampler(eval_fn, cfg, mesh=None):
             valid = _valid_noise_b(noise_p)
         elif move_id == MOVE_VPVS:
             valid = _valid_vpvs_b(vpvs_p)
+        elif defer_valid:
+            valid = None
         else:
             valid = model_is_valid_T(vs_p, z_p, n_p, states.vpvs,
                                      priors_dict, cfg.thickmin,
@@ -781,9 +789,9 @@ def build_sampler(eval_fn, cfg, mesh=None):
                     noise=noise_p, vpvs=vpvs_p, dvs2=dvs2,
                     valid=valid, u=u)
 
-    def propose_dim_T(states, vs_t, z_t):
+    def propose_dim_T(states, vs_t, z_t, defer_valid=False):
         """Transposed-layout :func:`propose_dim` (per-chain fair
-        birth/death mixture)."""
+        birth/death mixture).  ``defer_valid`` as in propose_T."""
         ks = jax.vmap(lambda k: random.split(k, 5))(states.key)
         key, k1, k2, k_coin, k_u = (ks[:, i] for i in range(5))
         coin = jax.vmap(random.bernoulli)(k_coin)
@@ -799,9 +807,13 @@ def build_sampler(eval_fn, cfg, mesh=None):
         dvs2 = jnp.where(coin, dvs2_b, dvs2_d)
 
         vs_p, z_p = sort_by_depth_T(vs_p, z_p, n_p)
-        valid = model_is_valid_T(vs_p, z_p, n_p, states.vpvs,
-                                 priors_dict, cfg.thickmin, cfg.lvz,
-                                 cfg.hvz, mantle=cfg.mantle)
+        if defer_valid:
+            valid = None
+        else:
+            valid = model_is_valid_T(vs_p, z_p, n_p, states.vpvs,
+                                     priors_dict, cfg.thickmin,
+                                     cfg.lvz, cfg.hvz,
+                                     mantle=cfg.mantle)
         u = jnp.log(jax.vmap(
             lambda k: random.uniform(k, dtype=dtype))(k_u))
         sign = jnp.where(coin, jnp.asarray(1.0, dtype),
@@ -1163,6 +1175,24 @@ def build_sampler(eval_fn, cfg, mesh=None):
         return lax.scan(chunk, states, None, length=n_snap)
 
     use_step_t = os.environ.get('BAYHUNTER_STEP_T', '1') == '1'
+    # unified model kernel (ops/pallas_prep.model_operands_t): the
+    # voronoi conversion, prior validity and every solver operand
+    # pack of a T-layout step run in ONE pallas program.  The static
+    # prior-bound tuple is built HERE, from the same cfg fields
+    # model_is_valid_T reads, so the in-kernel validity is
+    # definitionally consistent with the XLA arm
+    # (BAYHUNTER_MODEL_KERNEL=0 for A/B).
+    use_model_kernel = os.environ.get('BAYHUNTER_MODEL_KERNEL',
+                                      '1') == '1'
+    mk_cfgt = (int(priors_dict['layers'][0]),
+               int(priors_dict['layers'][1]),
+               float(priors_dict['vs'][0]),
+               float(priors_dict['vs'][1]),
+               float(priors_dict['z'][0]),
+               float(priors_dict['z'][1]),
+               float(cfg.thickmin),
+               None if cfg.lvz is None else float(cfg.lvz),
+               None if cfg.hvz is None else float(cfg.hvz))
 
     def _step_static(states, move_id):
         """One batched iteration with a STATIC (python int) move id —
@@ -1177,16 +1207,23 @@ def build_sampler(eval_fn, cfg, mesh=None):
         batch_eval_t = getattr(eval_fn, 'eval_full_batch_t', None)
         if (use_step_t and isinstance(move_id, int)
                 and move_id != MOVE_NOISE and batch_eval_t is not None):
+            dim = move_id in (MOVE_BIRTH, MOVE_DEATH)
+            mk_on = use_model_kernel and eval_fn.mk_ok is not None \
+                and eval_fn.mk_ok(dim)
+            defer = mk_on and move_id != MOVE_VPVS
             vs_t, z_t = jax.lax.optimization_barrier(
                 (states.vs.T, states.z.T))
-            prop = propose_T(states, vs_t, z_t, move_id)
+            prop = propose_T(states, vs_t, z_t, move_id,
+                             defer_valid=defer)
             newton = _pert_newton_for(move_id)
-            logL_p, misfits_p, fvalid, cache_p = batch_eval_t(
+            logL_p, misfits_p, fvalid, cache_p, mvalid = batch_eval_t(
                 prop['vs_t'], prop['z_t'], prop['n'], prop['vpvs'],
                 prop['noise'], states.cache, states.cell,
                 ring_width=_ring_width_for(move_id, newton=newton),
-                dim_move=move_id in (MOVE_BIRTH, MOVE_DEATH),
-                pert_newton=newton)
+                dim_move=dim, pert_newton=newton,
+                mk_cfg=mk_cfgt if mk_on else None)
+            if defer:
+                prop['valid'] = mvalid
             return accept_T(states, move_id, prop, logL_p, misfits_p,
                             fvalid, cache_p, vs_t, z_t)
         batch_eval = getattr(eval_fn, 'eval_full_batch', None)
@@ -1213,14 +1250,20 @@ def build_sampler(eval_fn, cfg, mesh=None):
         single forward solve, so one traced body covers the slot."""
         batch_eval_t = getattr(eval_fn, 'eval_full_batch_t', None)
         if use_step_t and batch_eval_t is not None:
+            mk_on = use_model_kernel and eval_fn.mk_ok is not None \
+                and eval_fn.mk_ok(True)
             vs_t, z_t = jax.lax.optimization_barrier(
                 (states.vs.T, states.z.T))
-            prop = propose_dim_T(states, vs_t, z_t)
-            logL_p, misfits_p, fvalid, cache_p = batch_eval_t(
+            prop = propose_dim_T(states, vs_t, z_t,
+                                 defer_valid=mk_on)
+            logL_p, misfits_p, fvalid, cache_p, mvalid = batch_eval_t(
                 prop['vs_t'], prop['z_t'], prop['n'], prop['vpvs'],
                 prop['noise'], states.cache, states.cell,
                 ring_width=_ring_width_for(MOVE_BIRTH),
-                dim_move=True)
+                dim_move=True,
+                mk_cfg=mk_cfgt if mk_on else None)
+            if mk_on:
+                prop['valid'] = mvalid
             return accept_T(states, MOVE_BIRTH, prop, logL_p,
                             misfits_p, fvalid, cache_p, vs_t, z_t)
         batch_eval = getattr(eval_fn, 'eval_full_batch', None)

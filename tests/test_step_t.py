@@ -156,11 +156,12 @@ def _run_steps(arm):
     from test_dim_reject_pin import (_bench_config_sampler,
                                      _grown_states)
     os.environ['BAYHUNTER_STEP_T'] = arm
-    # the bitwise-trajectory comparison needs the XLA-assembled RF
-    # operand arm: the prep KERNEL's flattening/coefficients contract
-    # FMAs differently from XLA (own tolerance test above), which
-    # could flip marginal accepts
+    # the bitwise-trajectory comparison needs the XLA-assembled
+    # operand arms: the prep/model KERNELS' flattening/coefficients
+    # contract FMAs differently from XLA (own tolerance tests above
+    # and in test_model_kernel), which could flip marginal accepts
     os.environ['BAYHUNTER_RF_PREP_KERNEL'] = '0'
+    os.environ['BAYHUNTER_MODEL_KERNEL'] = '0'
     try:
         sampler, eval_fn = _bench_config_sampler()
         states = _grown_states(sampler, eval_fn, 12)
@@ -171,6 +172,7 @@ def _run_steps(arm):
     finally:
         os.environ.pop('BAYHUNTER_STEP_T', None)
         os.environ.pop('BAYHUNTER_RF_PREP_KERNEL', None)
+        os.environ.pop('BAYHUNTER_MODEL_KERNEL', None)
 
 
 def test_step_t_matches_row_major():
