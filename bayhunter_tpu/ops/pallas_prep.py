@@ -354,23 +354,33 @@ def model_operands_t(vs_t, z_t, n, vpvs, specs, cfgt, mantle=None,
     (C,) rows; for rf the ``(coefs, pack)`` pair of
     :func:`rf_operands_t`."""
     nl, C = vs_t.shape
-    Cp = -(-C // LANES) * LANES
-    if Cp != C:
-        def padl(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[:, :1],
-                                     (x.shape[0], Cp - C))], axis=1)
-        vs_t, z_t = padl(vs_t), padl(z_t)
-        n = jnp.concatenate(
-            [n, jnp.broadcast_to(n[:1], (Cp - C,))])
-        vpvs = jnp.concatenate(
-            [vpvs, jnp.broadcast_to(vpvs[:1], (Cp - C,))])
+    # small ensembles run ONE grid step with exact-C blocks (Mosaic
+    # accepts a minor block dim equal to the array dim): no lane-pad
+    # concats on the inputs, no trim slices on the outputs — ~16
+    # top-level ops that would otherwise re-pay the per-op device
+    # floor the kernel exists to remove (docs/performance.md)
+    if C <= LANES:
+        W, Cp = C, C
+    else:
+        W = LANES
+        Cp = -(-C // LANES) * LANES
+        if Cp != C:
+            def padl(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:, :1],
+                                         (x.shape[0], Cp - C))],
+                    axis=1)
+            vs_t, z_t = padl(vs_t), padl(z_t)
+            n = jnp.concatenate(
+                [n, jnp.broadcast_to(n[:1], (Cp - C,))])
+            vpvs = jnp.concatenate(
+                [vpvs, jnp.broadcast_to(vpvs[:1], (Cp - C,))])
 
     n_r = n.reshape(1, Cp).astype(jnp.int32)
     vpvs_r = vpvs.reshape(1, Cp)
 
     def spec_rows(r):
-        return pl.BlockSpec((r, LANES), lambda i: (0, i),
+        return pl.BlockSpec((r, W), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     out_shape = [jax.ShapeDtypeStruct((1, Cp), jnp.float32)]
@@ -398,7 +408,7 @@ def model_operands_t(vs_t, z_t, n, vpvs, specs, cfgt, mantle=None,
                           tuple(cfgt),
                           None if mantle is None else tuple(mantle)),
         out_shape=out_shape,
-        grid=(Cp // LANES,),
+        grid=(Cp // W,),
         in_specs=[spec_rows(nl), spec_rows(nl), spec_rows(1),
                   spec_rows(1)],
         out_specs=out_specs,

@@ -40,18 +40,18 @@ BASELINE_PROPOSALS_PER_S = 2570.0
 NCHAINS = int(os.environ.get('BENCH_NCHAINS', 10240))
 ITERS = int(os.environ.get('BENCH_ITERS', 2000))
 
-# Small-batch lane padding (BENCH_PAD=0 to disable): the TPU step
-# program computes (x, 128)-lane vregs regardless of the chain count,
-# but a C that is NOT a multiple of 128 forces lane-pad concats +
-# result slices around EVERY pallas operand (~25 extra top-level ops
-# at 21 chains, each paying the ~µs/op device scheduling floor that
-# dominates the small-batch regime — docs/performance.md).  The bench
-# therefore EXECUTES the next multiple of 128 chains (extra chains
-# are ordinary independent chains, statistically identical) and
-# credits throughput only for the REQUESTED count: the honest
-# accounting is wall-clock per iteration at the user's chain count —
-# the padded lanes are hardware that would otherwise idle.
-PAD = os.environ.get('BENCH_PAD', '1') == '1'
+# Small-batch lane padding (BENCH_PAD=1 to enable): EXECUTE the next
+# multiple of 128 chains (extra chains are ordinary independent
+# chains) and credit throughput only for the REQUESTED count.  The
+# theory was that a C that is not a multiple of 128 forces lane-pad
+# concats + trim slices around every pallas operand; ADJUDICATED OFF
+# on-chip (2026-08-21, one session, normalizer ~154): 21 chains
+# padded-to-128 = 26.5-27.2k vs unpadded 28.2-28.6k proposals/s —
+# the extra per-tile device work of the 128-chain grids costs more
+# than the removed pad ops, and the model kernel's exact-C blocks
+# (ops/pallas_prep.model_operands_t) remove the biggest pad/trim
+# block without executing extra chains.
+PAD = os.environ.get('BENCH_PAD', '0') == '1'
 NCHAINS_EXEC = (-(-NCHAINS // 128) * 128) if PAD else NCHAINS
 
 
