@@ -154,11 +154,9 @@ def _dltar4_halfspace(wvno, wvno2, omega, a_hs, b_hs, rho_hs):
 
 
 def _dltar4_layer_math(e, wvno, wvno2, omega, d_l, a_l, b_l, rho_l,
-                       skip, return_lg=False):
+                       skip):
     """One Dunkin layer update (elementwise; inputs broadcastable).
-    ``skip`` lanes keep the incoming E vector (water surface layer).
-    ``return_lg`` additionally returns the layer's log
-    renormalization scale (exponent tracking, swd.dltar4_exp)."""
+    ``skip`` lanes keep the incoming E vector (water surface layer)."""
     def vert(xk):
         return jnp.sqrt((wvno + xk) * jnp.abs(wvno - xk))
 
@@ -240,25 +238,15 @@ def _dltar4_layer_math(e, wvno, wvno2, omega, d_l, a_l, b_l, rho_l,
                                   jnp.abs(n5)))
     nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
     inv = 1.0 / nrm
-    out = (jnp.where(skip, e1, n1 * inv),
-           jnp.where(skip, e2, n2 * inv),
-           jnp.where(skip, e3, n3 * inv),
-           jnp.where(skip, e4, n4 * inv),
-           jnp.where(skip, e5, n5 * inv))
-    if return_lg:
-        # log renormalization scale of this layer's update: the
-        # scaled eigenfunction quantities carry implicit exp(+exa)
-        # and the update divides by nrm, so value_reported =
-        # value_true * exp(-exa)/nrm (see swd.dltar4_exp)
-        return out, jnp.where(skip, 0.0, -exa - jnp.log(nrm))
-    return out
+    return (jnp.where(skip, e1, n1 * inv),
+            jnp.where(skip, e2, n2 * inv),
+            jnp.where(skip, e3, n3 * inv),
+            jnp.where(skip, e4, n4 * inv),
+            jnp.where(skip, e5, n5 * inv))
 
 
-def _dltar1_layer_math(e, wvno, omega, d_l, b_l, rho_l, skip,
-                       return_lg=False):
-    """One Haskell SH layer update (elementwise; broadcastable).
-    ``return_lg`` additionally returns the layer's log
-    renormalization scale (exponent tracking, swd.dltar1_exp)."""
+def _dltar1_layer_math(e, wvno, omega, d_l, b_l, rho_l, skip):
+    """One Haskell SH layer update (elementwise; broadcastable)."""
     def vert(xk):
         return jnp.sqrt((wvno + xk) * jnp.abs(wvno - xk))
 
@@ -267,16 +255,13 @@ def _dltar1_layer_math(e, wvno, omega, d_l, b_l, rho_l, skip,
     xkb = omega / b_safe
     rb = vert(xkb)
     xmu = rho_l * b_safe * b_safe
-    cosq, y, z, sex = _var_quantities(rb * d_l, rb, wvno < xkb, d_l)
+    cosq, y, z, _ = _var_quantities(rb * d_l, rb, wvno < xkb, d_l)
     e10 = e1 * cosq + e2 * xmu * z
     e20 = e1 * y / xmu + e2 * cosq
     nrm = jnp.maximum(jnp.abs(e10), jnp.abs(e20))
     nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
-    out = (jnp.where(skip, e1, e10 / nrm),
-           jnp.where(skip, e2, e20 / nrm))
-    if return_lg:
-        return out, jnp.where(skip, 0.0, -sex - jnp.log(nrm))
-    return out
+    return (jnp.where(skip, e1, e10 / nrm),
+            jnp.where(skip, e2, e20 / nrm))
 
 
 def _dltar4_kernel(nl, dynamic, *refs):

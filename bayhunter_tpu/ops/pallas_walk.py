@@ -69,19 +69,17 @@ class _StackedProp:
 
 
 def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
-                 newton_maxshift, compact_mr, has_sl, has_ex, mr,
+                 newton_maxshift, compact_mr, has_sl, mr,
                  stacked, *refs):
     nprops = 3 if iwave == 1 else 4
     if compact_mr is not None:
         refs, scratch = refs[:-nprops], refs[-nprops:]
-    *ins, c_out, f_out, s_out, e_out = refs
+    *ins, c_out, f_out, s_out = refs
     top_ref, c0_ref, om_ref, cm_ref, bx_ref = ins[:5]
     ins = ins[5:]
-    sl_ref = ex_ref = None
+    sl_ref = None
     if has_sl:
         sl_ref, *ins = ins
-    if has_ex:
-        ex_ref, *ins = ins
     if stacked:
         # ONE (nprops, nl, 1, C_TILE, M) stacked props block (the
         # transposed-layout caller ships a single stack+pad instead
@@ -157,14 +155,11 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
 
     water = prop(b_ref, 0) <= 0.0
 
-    def _secular_impl(c, track):
-        """Secular value at c; with ``track`` also the accumulated
-        log renormalization scale lg (value_reported = value_true *
-        exp(lg), swd.dltar4_exp) — the currency that makes cached
-        slopes scale-compatible across a ±1-layer dimension jump."""
+    def secular(c):
+        """Secular value at c (renormalized scale; only signs and
+        same-sweep ratios reach the search logic)."""
         wvno = omega / c
         wvno2 = wvno * wvno
-        zero_lg = jnp.zeros_like(c)
         if iwave == 1:
             b_hs = prop(b_ref, nl - 1)
             rho_hs = prop(rho_ref, nl - 1)
@@ -173,42 +168,28 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
             e = (rho_hs * rb,
                  jnp.broadcast_to(1.0 / (b_hs * b_hs), wvno.shape))
 
-            def body(j, carry):
-                e_, lg_ = carry
+            def body(j, e_):
                 l = top - j
                 skip = water & (l == 0)
-                if track:
-                    e_n, dlg = _dltar1_layer_math(
-                        e_, wvno, omega, prop(d_ref, l),
-                        prop(b_ref, l), prop(rho_ref, l), skip,
-                        return_lg=True)
-                    return e_n, lg_ + dlg
                 return _dltar1_layer_math(
                     e_, wvno, omega, prop(d_ref, l), prop(b_ref, l),
-                    prop(rho_ref, l), skip), lg_
+                    prop(rho_ref, l), skip)
 
-            e, lg = jax.lax.fori_loop(0, top + 1, body, (e, zero_lg))
-            return e[0], lg
+            e = jax.lax.fori_loop(0, top + 1, body, e)
+            return e[0]
         e = _dltar4_halfspace(wvno, wvno2, omega, prop(a_ref, nl - 1),
                               prop(b_ref, nl - 1),
                               prop(rho_ref, nl - 1))
 
-        def body(j, carry):
-            e_, lg_ = carry
+        def body(j, e_):
             l = top - j
             skip = water & (l == 0)
-            if track:
-                e_n, dlg = _dltar4_layer_math(
-                    e_, wvno, wvno2, omega, prop(d_ref, l),
-                    prop(a_ref, l), prop(b_ref, l), prop(rho_ref, l),
-                    skip, return_lg=True)
-                return e_n, lg_ + dlg
             return _dltar4_layer_math(
                 e_, wvno, wvno2, omega, prop(d_ref, l),
                 prop(a_ref, l), prop(b_ref, l), prop(rho_ref, l),
-                skip), lg_
+                skip)
 
-        (e, lg) = jax.lax.fori_loop(0, top + 1, body, (e, zero_lg))
+        e = jax.lax.fori_loop(0, top + 1, body, e)
         e1, e2 = e[0], e[1]
         # water-layer surface boundary (surfdisp96.f:850-869)
         a0_l = prop(a_ref, 0)
@@ -218,13 +199,7 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
         cosp_w, w_w, _, _ = _var_quantities(ra0 * d0_l, ra0,
                                             wvno < xka0, d0_l)
         return jnp.where(water, cosp_w * e1 - prop(rho_ref, 0)
-                         * w_w * e2, e1), lg
-
-    def secular(c):
-        return _secular_impl(c, False)[0]
-
-    def secular_lg(c):
-        return _secular_impl(c, True)
+                         * w_w * e2, e1)
 
     # in-kernel Newton prepass (dimension-move warm starts): the
     # XLA-level prepass pays two dispatched secular calls whose 42
@@ -233,7 +208,6 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
     # ops/swd.py prepass: value+slope from a DDC/16 finite
     # difference, shift clipped to newton_maxshift per iteration.
     eps_n = dc / 16.0
-    lg_this = None
     if newton_iters > 0:
         if has_sl:
             # CACHED-SLOPE first iteration (1 sweep): the previous
@@ -241,21 +215,18 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
             # The secular renormalization scale is a continuous
             # function of (model, c), so for a same-dimension
             # (perturbation) proposal the cached dval/dc is directly
-            # scale-compatible with this sweep's value; for a ±1-layer
-            # DIMENSION proposal the renormalization depth changes,
-            # and the cached EXPONENT (has_ex: the producing solve's
-            # accumulated log scale) rescales the slope onto this
-            # sweep's scale — slope_here = sl * exp(lg_here -
-            # lg_prev) — restoring the 1-sweep Newton the
-            # perturbation moves already enjoy.  Lanes with the 0.0
-            # no-cache sentinel skip recentering (shift 0).
-            if has_ex:
-                v0, lg_this = secular_lg(c0)
-                sl = sl_ref[0] * jnp.exp(
-                    jnp.clip(lg_this - ex_ref[0], -60.0, 60.0))
-            else:
-                v0 = secular(c0)
-                sl = sl_ref[0]
+            # scale-compatible with this sweep's value.  (DIMENSION
+            # proposals never take this path: a ±1-layer jump changes
+            # the renormalization depth, and the round-4/5
+            # exponent-rescale experiment proved the rescale exact
+            # but the old-model slopes too STALE for death-like
+            # proposals — miss class 2x, dim rejects 10.95 → 26.1%
+            # on-chip — so dim moves keep the FD pair and the whole
+            # exponent-tracking infrastructure was deleted per the
+            # dead-knob policy; see docs/performance.md.)  Lanes with
+            # the 0.0 no-cache sentinel skip recentering (shift 0).
+            v0 = secular(c0)
+            sl = sl_ref[0]
             hasf = jnp.where(jnp.abs(sl_ref[0]) > 0.0, 1.0, 0.0)
             slope = jnp.where(hasf > 0.5, sl, 1.0)
             shift = jnp.clip(-v0 / slope, -newton_maxshift,
@@ -301,13 +272,7 @@ def _walk_kernel(nl, iwave, max_steps, nbisect, ddc, newton_iters,
             c_pv, v_pv = c0, v0
             c0 = jnp.clip(c0 + shift, cm, bx)
 
-    # the first post-recentering sweep doubles as the solve's
-    # exponent record: c0 sits ~on the root, so its accumulated log
-    # scale is the right currency for the NEXT solve's cached-slope
-    # rescale (e_out; tracking costs 2 VPU ops per layer on this one
-    # sweep)
-    f0, lg0 = secular_lg(c0)
-    e_out[0] = lg0
+    f0 = secular(c0)
     # Mosaic cannot round-trip i1 vectors through loop carries
     # (arith.trunci i8->i1 fails to lower), so every carried mask is
     # f32 0/1 and rebuilt as bool where needed
@@ -431,25 +396,24 @@ def _pack_props(p, T, M, R, nl):
 def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                     iwave=2, ring_k=16, trips=2, nbisect=4,
                     newton_iters=0, newton_maxshift=0.0,
-                    slope_prev=None, exp_prev=None, layout_t=False,
+                    slope_prev=None, layout_t=False,
                     pstack=None, top_chain=None, interpret=False):
     """Warm root solve via the walking kernel.
 
     h/vp/vs/rho : (C, NL); omegas/c_prev (C, R); cm/betmx (C, 1).
-    Returns (c, found, slope, expo) each (C, R): the refined root
+    Returns (c, found, slope) each (C, R): the refined root
     nearest c_prev, whether one was bracketed within trips*ring_k
-    steps, the refined bracket's secular slope (0.0 for unfound
-    lanes) and the solve's accumulated log renormalization scale —
-    both cacheable to seed the next solve's recentering.
+    steps, and the refined bracket's secular slope (0.0 for unfound
+    lanes) — cacheable to seed the next perturbation solve's
+    recentering.
     ``newton_iters`` > 0 runs that many in-kernel Newton recentering
     passes on c_prev before the walk (the dimension-move prepass,
     ops/swd.py), each shift clipped to ``newton_maxshift``;
     ``slope_prev`` (C, R, optional) supplies a cached slope for the
     FIRST pass so it costs one secular sweep instead of two (0.0
-    lanes skip recentering); ``exp_prev`` the producing solve's
-    exponents, which rescale the cached slope across a dimension
-    jump (exp(lg_here - lg_prev) — without it the cached slope is
-    only valid for same-dimension proposals).
+    lanes skip recentering).  Same-dimension solves only — see the
+    in-kernel cached-slope note for why dimension moves keep the FD
+    pair.
     """
     C, R = omegas.shape
     nprops_in = 3 if iwave == 1 else 4
@@ -498,8 +462,6 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
             h, vp, vs, rho = (padc(x) for x in (h, vp, vs, rho))
         if slope_prev is not None:
             slope_prev = padc(slope_prev)
-        if exp_prev is not None:
-            exp_prev = padc(exp_prev)
     T = Cp // G
 
     if R > LANES:
@@ -529,9 +491,6 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
     cmp_ = cm[:, 0].reshape(T, C_TILE, M)
     bxp = betmx[:, 0].reshape(T, C_TILE, M)
     slp = None if slope_prev is None else _pack(slope_prev, T, M, R)
-    exp_ = None if exp_prev is None else _pack(exp_prev, T, M, R)
-    if exp_ is not None and slp is None:
-        raise ValueError('exp_prev requires slope_prev')
     nprops = 3 if iwave == 1 else 4
     if layout_t:
         if not compact:
@@ -601,25 +560,23 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
                  spec2(LANES), spec_shared(LANES),
                  spec_cols(), spec_cols()]
                 + ([] if slp is None else [spec2(LANES)])
-                + ([] if exp_ is None else [spec2(LANES)])
                 + prop_specs)
-    out_specs = [spec2(LANES)] * 4
+    out_specs = [spec2(LANES)] * 3
     max_steps = 2 * ring_k * trips
     scratch_shapes = ([pltpu.VMEM((nl, C_TILE, LANES), dtype)]
                       * nprops) if compact else []
 
     args = ((top, c0p, omp, cmp_, bxp)
-            + (() if slp is None else (slp,))
-            + (() if exp_ is None else (exp_,)) + tuple(dprops))
-    c_pk, f_pk, s_pk, e_pk = pl.pallas_call(
+            + (() if slp is None else (slp,)) + tuple(dprops))
+    c_pk, f_pk, s_pk = pl.pallas_call(
         functools.partial(_walk_kernel, nl, iwave, max_steps,
                           nbisect, float(ddc), int(newton_iters),
                           float(newton_maxshift),
                           (M, R) if compact else None,
-                          slp is not None, exp_ is not None, (M, R),
+                          slp is not None, (M, R),
                           bool(layout_t)),
         out_shape=[jax.ShapeDtypeStruct((T, C_TILE, LANES), dtype)]
-        * 4,
+        * 3,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -631,5 +588,4 @@ def warm_roots_walk(h, vp, vs, rho, omegas, c_prev, cm, betmx, ddc,
         x = xp[..., :M * R].reshape(T, C_TILE, M, R)
         return x.reshape(Cp, R)[:C]
 
-    return (unpack(c_pk), unpack(f_pk) > 0.5, unpack(s_pk),
-            unpack(e_pk))
+    return unpack(c_pk), unpack(f_pk) > 0.5, unpack(s_pk)

@@ -183,14 +183,6 @@ def dltar4(wvno, omega, d, a, b, rho, water):
     reference; the positive scale is arbitrary due to per-layer
     renormalization.
     """
-    return _dltar4_impl(wvno, omega, d, a, b, rho, water)[0]
-
-
-def dltar4_exp(wvno, omega, d, a, b, rho, water):
-    """:func:`dltar4` plus the accumulated log renormalization scale
-    ``lg`` with ``value_reported ~= value_true * exp(lg)`` — cached
-    so a later solve of a DIFFERENT-dimension model can rescale this
-    solve's secular slope (see pallas_walk exponent notes)."""
     return _dltar4_impl(wvno, omega, d, a, b, rho, water)
 
 
@@ -222,10 +214,7 @@ def _dltar4_impl(wvno, omega, d, a, b, rho, water):
     xs = (d[order], a[order], b[order], rho[order],
           water & (order == 0))
 
-    lg0 = jnp.zeros_like(e[4])
-
-    def step(carry, layer):
-        ee, lg = carry
+    def step(ee, layer):
         d_l, a_l, b_l, rho_l, skip = layer
         xka = omega / a_l
         xkb = omega / b_l
@@ -249,20 +238,16 @@ def _dltar4_impl(wvno, omega, d, a, b, rho, water):
         nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
         out = tuple(jnp.where(skip, ec, en / nrm)
                     for ec, en in zip(ee, een))
-        # the scaled eigenfunction quantities carry implicit
-        # exp(+exa); the reported update scales the true matrix by
-        # exp(-exa)/nrm
-        lg_n = jnp.where(skip, lg, lg - exa - jnp.log(nrm))
-        return (out, lg_n), None
+        return out, None
 
-    (e, lg), _ = lax.scan(step, (e, lg0), xs)
+    e, _ = lax.scan(step, e, xs)
 
     # water-layer surface boundary (surfdisp96.f:850-869)
     ra0 = _vertical_wavenumber(wvno, omega / a[0])
     cosp_w, w_w, _, _ = _var_quantities(ra0 * d[0], ra0, wvno,
                                         omega / a[0], d[0])
     w0 = -rho[0] * w_w
-    return jnp.where(water, cosp_w * e[0] + w0 * e[1], e[0]), lg
+    return jnp.where(water, cosp_w * e[0] + w0 * e[1], e[0])
 
 
 def dltar1(wvno, omega, d, a, b, rho, water):
@@ -273,14 +258,6 @@ def dltar1(wvno, omega, d, a, b, rho, water):
     candidate-parallel over the shape of ``wvno``.  A surface water
     layer is skipped (llw=2 semantics).
     """
-    return _dltar1_impl(wvno, omega, d, a, b, rho, water)[0]
-
-
-def dltar1_exp(wvno, omega, d, a, b, rho, water):
-    """:func:`dltar1` plus the accumulated log renormalization scale
-    ``lg`` with ``value_reported = value_true * exp(lg)`` — cached so
-    a later solve of a DIFFERENT-dimension model can rescale this
-    solve's secular slope (see pallas_walk exponent notes)."""
     return _dltar1_impl(wvno, omega, d, a, b, rho, water)
 
 
@@ -290,34 +267,29 @@ def _dltar1_impl(wvno, omega, d, a, b, rho, water):
     e1 = (rho[-1] * rb_hs).astype(wvno.dtype)
     e2 = jnp.broadcast_to(
         jnp.asarray(1.0 / (b[-1] * b[-1]), wvno.dtype), wvno.shape)
-    lg0 = jnp.zeros_like(e1)
 
     nl = d.shape[-1]
     order = jnp.arange(nl - 2, -1, -1)
     xs = (d[order], b[order], rho[order], water & (order == 0))
 
     def step(carry, layer):
-        e1c, e2c, lg = carry
+        e1c, e2c = carry
         d_l, b_l, rho_l, skip = layer
         xkb = omega / b_l
         rb = _vertical_wavenumber(wvno, xkb)
         xmu = rho_l * b_l * b_l
-        cosq, y, z, sex = _var_quantities(rb * d_l, rb, wvno, xkb,
-                                          d_l)
+        cosq, y, z, _ = _var_quantities(rb * d_l, rb, wvno, xkb,
+                                        d_l)
         e10 = e1c * cosq + e2c * xmu * z
         e20 = e1c * y / xmu + e2c * cosq
         nrm = jnp.maximum(jnp.abs(e10), jnp.abs(e20))
         nrm = jnp.where(nrm < 1e-40, 1.0, nrm)
         e1n = jnp.where(skip, e1c, e10 / nrm)
         e2n = jnp.where(skip, e2c, e20 / nrm)
-        # evanescent S quantities carry an implicit exp(+sex); the
-        # reported update therefore scales the true one by
-        # exp(-sex)/nrm
-        lg_n = jnp.where(skip, lg, lg - sex - jnp.log(nrm))
-        return (e1n, e2n, lg_n), None
+        return (e1n, e2n), None
 
-    (e1, e2, lg), _ = lax.scan(step, (e1, e2, lg0), xs)
-    return e1, lg
+    (e1, e2), _ = lax.scan(step, (e1, e2), xs)
+    return e1
 
 
 # --------------------------------------------------------------------------
@@ -743,7 +715,6 @@ def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
                                  warm_trips_cap=None,
                                  anchor_trips_cap=3,
                                  pert_newton=False, slope_prevs=None,
-                                 exp_prevs=None,
                                  return_slopes=False,
                                  interpret=False):
     """Solve SEVERAL same-wave-type dispersion targets of one model
@@ -781,7 +752,6 @@ def surfdisp_roots_batch_grouped(h, vp, vs, rho, periods_list, igrs,
                              anchor_trips_cap=anchor_trips_cap,
                              pert_newton=pert_newton,
                              slope_prevs=slope_prevs,
-                             exp_prevs=exp_prevs,
                              interpret=interpret)
     return outs if return_slopes else [o[:3] for o in outs]
 
@@ -792,13 +762,12 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
                          warm_halfwidth=16, anchor_warm=False,
                          anchor_halfwidth=64, warm_trips_cap=None,
                          anchor_trips_cap=3, pert_newton=False,
-                         slope_prev=None, exp_prev=None,
+                         slope_prev=None,
                          return_slopes=False, layout_t=False,
                          prep=None, interpret=False):
     """Batch-first :func:`surfdisp_roots`: layer arrays (C, NL),
     ``c_prev`` (C, R); returns (cg (C, P), err (C,), roots (C, R))
-    — plus the roots' bracket slopes and log renormalization
-    exponents (C, R) when ``return_slopes``.
+    — plus the roots' bracket slopes (C, R) when ``return_slopes``.
     ``slope_prev`` optionally carries the previous solve's slopes to
     seed the Newton recentering with one secular sweep instead of
     two (see pallas_walk); ``exp_prev`` its exponents, which rescale
@@ -845,7 +814,6 @@ def surfdisp_roots_batch(h, vp, vs, rho, periods, c_prev=None,
         warm_trips_cap=warm_trips_cap,
         anchor_trips_cap=anchor_trips_cap, pert_newton=pert_newton,
         slope_prevs=None if slope_prev is None else [slope_prev],
-        exp_prevs=None if exp_prev is None else [exp_prev],
         layout_t=layout_t, prep=prep, interpret=interpret)
     return out[0] if return_slopes else out[0][:3]
 
@@ -873,7 +841,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                       warm_halfwidth=16, anchor_warm=False,
                       anchor_halfwidth=64, warm_trips_cap=None,
                       anchor_trips_cap=3, pert_newton=False,
-                      slope_prevs=None, exp_prevs=None,
+                      slope_prevs=None,
                       layout_t=False, prep=None, interpret=False):
     """Shared body of surfdisp_roots_batch{,_grouped}: one bracketing
     + refinement pipeline over the concatenation of every target's
@@ -1017,21 +985,6 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
             vals = dltar4_pallas(wv, om, d, a, b, rho_w,
                                  interpret=interpret)
         return vals[:, :n0].reshape(shape)
-
-    def _exps_xla(cc):
-        """Accumulated log renormalization scale at the roots, via
-        one tracked XLA sweep (staged/cold paths only — the walker
-        tracks its own; see pallas_walk)."""
-        om_b = jnp.broadcast_to(
-            om_segs[0] if ngroups == 1 else jnp.concatenate(om_segs),
-            cc.shape)
-        fexp = dltar1_exp if iwave == 1 else dltar4_exp
-        water_c = b[:, 0] <= 0.0
-        _, expo = jax.vmap(
-            lambda wv, om, dd, aa, bb, rr, wt:
-            fexp(wv, om, dd, aa, bb, rr, wt)
-        )(om_b / cc, om_b, d, a, b, rho_w, water_c)
-        return expo
 
     # per-target lane segments: a phase target contributes R lanes, a
     # group target 2R (the t/(1±h) half-solves); slices are static
@@ -1240,28 +1193,23 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                 'BAYHUNTER_WALK_NBISECT',
                 ('0' if newton_recentered else '1') if nrefine == 1
                 else str(4 * nrefine)))
-            # cached slopes seed the walker's Newton recentering;
-            # for perturbation moves directly (same dimension,
-            # scale-compatible), for DIMENSION moves together with
-            # the cached exponents, which rescale them across the
-            # ±1-layer renormalization jump (pallas_walk exp notes)
-            sl_prev = ex_prev = None
+            # cached slopes seed the walker's Newton recentering —
+            # perturbation moves only (same dimension, so the cached
+            # slope is scale-compatible; the dimension-move exponent
+            # rescale was built, adjudicated stale and DELETED — see
+            # pallas_walk cached-slope note / docs/performance.md)
+            sl_prev = None
             if slope_prevs is not None and walk_newton_iters > 0:
                 sl_prev = slope_prevs[0] if ngroups == 1 \
                     else jnp.concatenate(list(slope_prevs), axis=-1)
                 sl_prev = sl_prev.astype(dtype)
-                if exp_prevs is not None:
-                    ex_prev = exp_prevs[0] if ngroups == 1 \
-                        else jnp.concatenate(list(exp_prevs),
-                                             axis=-1)
-                    ex_prev = ex_prev.astype(dtype)
-            c, found, slope, expo = warm_roots_walk(
+            c, found, slope = warm_roots_walk(
                 d, a, b, rho_w, omegas, cp, cm, betmx, float(DDC),
                 iwave=iwave, ring_k=warm_halfwidth, trips=trips,
                 nbisect=nbisect,
                 newton_iters=walk_newton_iters,
                 newton_maxshift=3.0 * anchor_halfwidth * DDC,
-                slope_prev=sl_prev, exp_prev=ex_prev,
+                slope_prev=sl_prev,
                 layout_t=layout_t,
                 pstack=None if prep is None else props_flat,
                 top_chain=None if prep is None else top_chain,
@@ -1274,7 +1222,6 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                                         nrefine, dtype,
                                         return_slope=True)
             slope = jnp.where(found, slope, 0.0)
-            expo = _exps_xla(c)
     else:
         lo, found = _find_brackets_b(omegas, cm, betmx, secular, mode,
                                      kblock, nblocks, dtype)
@@ -1282,7 +1229,6 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
                                     nrefine, dtype,
                                     return_slope=True)
         slope = jnp.where(found, slope, 0.0)
-        expo = _exps_xla(c)
 
     outs = []
     for t_l, t1, (s0, s1), igr_t in zip(t_list, t1_list, slices,
@@ -1303,8 +1249,7 @@ def _roots_batch_impl(h, vp, vs, rho, periods_list, igrs, c_prevs,
         failed_cum = jnp.cumsum(jnp.logical_not(ok), axis=-1) > 0
         cg = jnp.where(failed_cum, 0.0, out)
         err = jnp.any(jnp.logical_not(ok), axis=-1)
-        outs.append((cg, err, c_seg, slope[:, s0:s1],
-                     expo[:, s0:s1]))
+        outs.append((cg, err, c_seg, slope[:, s0:s1]))
     return outs
 
 
@@ -1434,14 +1379,7 @@ def surfdisp_roots(h, vp, vs, rho, periods, c_prev=None, iwave=2,
     cg = jnp.where(failed_cum, 0.0, out)
     err = jnp.any(jnp.logical_not(ok))
     if return_slopes:
-        # accumulated log renormalization scale at the roots (one
-        # tracked XLA sweep) — cached alongside the slopes so a
-        # subsequent DIMENSION-move solve can rescale them (see
-        # pallas_walk exponent notes).  This path is init/debug, not
-        # the production hot loop.
-        fexp = dltar1_exp if iwave == 1 else dltar4_exp
-        _, expo = fexp(omegas / c, omegas, d, a, b, rho_w, water)
-        return cg, err, c, slope, expo
+        return cg, err, c, slope
     return cg, err, c
 
 

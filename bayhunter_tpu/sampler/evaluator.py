@@ -39,15 +39,12 @@ class EvalBundle(typing.NamedTuple):
     """Joint-target evaluators sharing a forward cache.
 
     The cache (one per chain) is a tuple over targets of
-    ``(y_synth, roots, slopes, exps)`` — the synthetic data of the
+    ``(y_synth, roots, slopes)`` — the synthetic data of the
     *current* model and, for SWD targets, the dispersion roots used
-    to warm-start the next solve, their bracket's secular slopes
-    (seeding the next solve's Newton recentering with one sweep
-    instead of two; 0.0 = no-cache sentinel) and the solve's
-    accumulated log renormalization exponents (which rescale the
-    cached slopes across a ±1-layer dimension jump — pallas_walk).
-    ``roots``/``slopes``/``exps`` are zero-length arrays for RF
-    targets.
+    to warm-start the next solve and their bracket's secular slopes
+    (seeding the next perturbation solve's Newton recentering with
+    one sweep instead of two; 0.0 = no-cache sentinel).
+    ``roots``/``slopes`` are zero-length arrays for RF targets.
 
       eval_full(vs, z, n, vpvs, noise, cache)
           -> (logL, misfits, valid, new_cache)   # warm-started
@@ -98,21 +95,17 @@ _USE_PALLAS_RF = os.environ.get('BAYHUNTER_PALLAS_RF', '1') == '1'
 # the previous solve's closing-bracket slope rides the forward cache,
 # so the vs/vpvs recentering costs ONE secular sweep instead of two.
 _SLOPE_CACHE = os.environ.get('BAYHUNTER_SLOPE_CACHE', '1') == '1'
-# dimension-move slope cache (BAYHUNTER_DIM_SLOPE_CACHE=1 enables):
-# a ±1-layer proposal changes the secular renormalization depth, so
-# the cached slope is only scale-compatible together with the cached
-# EXPONENT, which the walker uses to rescale it
-# (slope * exp(lg_here - lg_prev)).  ADJUDICATED OFF (2026-08-20,
-# on-chip @10240 + scripts/diag_dim_slope_cache.py): the exponent
-# rescale itself is exact (slope ratio cached/FD p50 0.92-1.0
-# across the jump), but the OLD-model slope is too stale for the
-# hard half of dimension proposals — death-like moves double the
-# >2-DDC iteration-1 miss class (41% vs 22%), which the minimal dim
-# walk bound converts to cap-rejects: fwd_reject_dim_pct 10.95 ->
-# 26.1% on-chip, far out of band, for +5% throughput that is partly
-# reject-driven.  The FD value+slope pair stays for dim moves.
-_DIM_SLOPE_CACHE = _SLOPE_CACHE and os.environ.get(
-    'BAYHUNTER_DIM_SLOPE_CACHE', '0') == '1'
+# NOTE a DIMENSION-move slope cache (cached slopes + renormalization
+# exponents rescaling them across the ±1-layer jump) was built in
+# round 4 and adjudicated OFF on-chip: the exponent rescale is exact
+# (slope ratio cached/FD p50 0.92-1.0 across the jump) but the
+# OLD-model slope is too stale for death-like proposals (>2-DDC
+# iteration-1 miss class 41% vs 22%; fwd_reject_dim_pct 10.95 ->
+# 26.1%).  No per-lane variant can win either: the walker's FD sweep
+# is program-wide, so partial cache coverage saves nothing.  The
+# whole exponent-tracking infrastructure was deleted in round 5 per
+# the dead-knob policy (docs/performance.md); dim moves keep the FD
+# value+slope pair.
 
 # warm-ring trip cap for the batch SWD path; 0 disables the cap
 _WARM_TRIPS_CAP = int(os.environ.get('BAYHUNTER_WARM_CAP', '2')) or None
@@ -258,14 +251,13 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
     def _forward(spec, h, vp, vs_l, rho, c_prev, ring_width):
         """One target's synthetic data; returns
-        (y, tvalid, roots, slopes, exps)."""
+        (y, tvalid, roots, slopes)."""
         if spec.kind == 'custom':
             y = spec.jax_forward(h, vp, vs_l, rho)
             return (y, jnp.all(jnp.isfinite(y)),
-                    jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
-                    jnp.zeros((0,), dtype))
+                    jnp.zeros((0,), dtype), jnp.zeros((0,), dtype))
         if spec.kind == 'swd':
-            cg, err, roots, slopes, exps = surfdisp_roots(
+            cg, err, roots, slopes = surfdisp_roots(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, igr=spec.igr, mode=spec.mode,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
@@ -274,7 +266,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 y = jnp.interp(spec.interp_x, spec.periods, cg)
             else:
                 y = cg
-            return y, jnp.logical_not(err), roots, slopes, exps
+            return y, jnp.logical_not(err), roots, slopes
         # rf
         qp = jnp.full((nl,), 500.0, dtype)
         qs = jnp.full((nl,), 225.0, dtype)
@@ -287,7 +279,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                            poisson, wave_type=spec.wave_type)
         y = rf_t[:spec.ndata]
         return (y, jnp.all(jnp.isfinite(y)), jnp.zeros((0,), dtype),
-                jnp.zeros((0,), dtype), jnp.zeros((0,), dtype))
+                jnp.zeros((0,), dtype))
 
     def _eval(vs, z, n, vpvs, noise, cache, cell, ring_width=16):
         h, vp, vs_l, rho = voronoi_to_layers(vs, z, n, vpvs,
@@ -300,11 +292,11 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         for i, spec in enumerate(specs):
             c_prev = cache[i][1] if cache is not None \
                 and spec.kind == 'swd' else None
-            y, tvalid, roots, slopes, exps = _forward(spec, h, vp,
+            y, tvalid, roots, slopes = _forward(spec, h, vp,
                                                       vs_l, rho,
                                                       c_prev,
                                                       ring_width)
-            new_cache.append((y, roots, slopes, exps))
+            new_cache.append((y, roots, slopes))
 
             ydiff = jnp.where(tvalid, y - spec.yobs_for(cell), 0.0)
             misfits.append(jnp.sqrt(jnp.mean(ydiff ** 2)))
@@ -355,14 +347,14 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
     def _forward_batch(spec, h, vp, vs_l, rho, c_prev, ring_width,
                        dim_move=False, pert_newton=False,
-                       slope_prev=None, exp_prev=None):
+                       slope_prev=None):
         """(C, ...) variant of _forward; pallas-backed for the
         dispersion secular functions (Rayleigh and Love) and for the
         RF reflectivity recursion.  ``dim_move`` enables the
         anchor-shift warm start for birth/death proposals (see
         ops/swd.py surfdisp_roots_batch); ``pert_newton`` the Newton
         warm-start recentering for perturbation moves with large root
-        shifts (vs, vp/vs); ``slope_prev``/``exp_prev`` the cached
+        shifts (vs, vp/vs); ``slope_prev`` the cached
         bracket slopes (+ exponents, required across dimension jumps)
         seeding that recentering with one sweep instead of two."""
         if spec.kind == 'rf' and pallas_rf:
@@ -383,7 +375,6 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             y = rf_t[:, :spec.ndata]
             return (y, jnp.all(jnp.isfinite(y), axis=-1),
                     jnp.zeros((C, 0), dtype),
-                    jnp.zeros((C, 0), dtype),
                     jnp.zeros((C, 0), dtype))
         if spec.kind == 'swd':
             from bayhunter_tpu.ops.swd import surfdisp_roots_batch
@@ -395,28 +386,27 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             cap = (_DIM_TRIPS_CAP or _WARM_TRIPS_CAP) if dim_move \
                 else _WARM_TRIPS_CAP
             cap = cap if c_prev is not None else None
-            cg, err, roots, slopes, exps = surfdisp_roots_batch(
+            cg, err, roots, slopes = surfdisp_roots_batch(
                 h, vp, vs_l, rho, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
                 anchor_warm=dim_move, warm_trips_cap=cap,
                 pert_newton=pert_newton, slope_prev=slope_prev,
-                exp_prev=exp_prev,
                 return_slopes=True, interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
                     spec.interp_x, spec.periods, cc))(cg)
             else:
                 y = cg
-            return y, jnp.logical_not(err), roots, slopes, exps
+            return y, jnp.logical_not(err), roots, slopes
         # everything else: vmap the per-chain forward
-        y, tvalid, roots, slopes, exps = jax.vmap(
+        y, tvalid, roots, slopes = jax.vmap(
             lambda hh, aa, bb, rr, cp: _forward(spec, hh, aa, bb, rr,
                                                 cp, ring_width),
             in_axes=(0, 0, 0, 0, 0 if spec.kind == 'swd' else None)
         )(h, vp, vs_l, rho,
           c_prev if spec.kind == 'swd' else None)
-        return y, tvalid, roots, slopes, exps
+        return y, tvalid, roots, slopes
 
     # same-wave-type SWD targets CAN share one grouped solver call in
     # the batch path (e.g. Rayleigh phase + Rayleigh group): the
@@ -465,11 +455,8 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             done.add(idxs)
             specs_g = [specs[j] for j in idxs]
             use_sl = (_SLOPE_CACHE and pert_newton
-                      and not dim_move) \
-                or (_DIM_SLOPE_CACHE and dim_move)
+                      and not dim_move)
             sl_prevs = [cache[j][2] for j in idxs] if use_sl else None
-            ex_prevs = [cache[j][3] for j in idxs] \
-                if use_sl and dim_move else None
             outs = surfdisp_roots_batch_grouped(
                 h, vp, vs_l, rho,
                 [s.periods for s in specs_g],
@@ -478,7 +465,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 iwave=key[0], iflsph=key[1], mode=key[2],
                 warm_halfwidth=ring_width, anchor_warm=dim_move,
                 warm_trips_cap=cap, pert_newton=pert_newton,
-                slope_prevs=sl_prevs, exp_prevs=ex_prevs,
+                slope_prevs=sl_prevs,
                 return_slopes=True,
                 interpret=interpret)
             for j, out in zip(idxs, outs):
@@ -506,14 +493,14 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
         for i, spec in enumerate(specs):
             if i in grouped:
-                cg, errg, roots, slopes, exps = grouped[i]
+                cg, errg, roots, slopes = grouped[i]
                 if spec.interp_x is not None:
                     y = jax.vmap(lambda cc: jnp.interp(
                         spec.interp_x, spec.periods, cc))(cg)
                 else:
                     y = cg
                 tvalid = jnp.logical_not(errg)
-                new_cache.append((y, roots, slopes, exps))
+                new_cache.append((y, roots, slopes))
                 yobs = jax.vmap(spec.yobs_for)(cell) \
                     if spec.batched_obs else spec.yobs
                 ydiff = jnp.where(tvalid[:, None], y - yobs, 0.0)
@@ -526,14 +513,12 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
                 continue
             c_prev = cache[i][1] if spec.kind == 'swd' else None
             use_sl = spec.kind == 'swd' and (
-                (_SLOPE_CACHE and pert_newton and not dim_move)
-                or (_DIM_SLOPE_CACHE and dim_move))
+                _SLOPE_CACHE and pert_newton and not dim_move)
             slope_prev = cache[i][2] if use_sl else None
-            exp_prev = cache[i][3] if use_sl and dim_move else None
-            y, tvalid, roots, slopes, exps = _forward_batch(
+            y, tvalid, roots, slopes = _forward_batch(
                 spec, h, vp, vs_l, rho, c_prev, ring_width,
-                dim_move, pert_newton, slope_prev, exp_prev)
-            new_cache.append((y, roots, slopes, exps))
+                dim_move, pert_newton, slope_prev)
+            new_cache.append((y, roots, slopes))
 
             yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \
                 else spec.yobs
@@ -559,7 +544,7 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
 
     def _forward_batch_th(spec, ht, vpt, vst, rhot, c_prev, ring_width,
                           dim_move=False, pert_newton=False,
-                          slope_prev=None, exp_prev=None, mk=None):
+                          slope_prev=None, mk=None):
         """(NL, C) variant of _forward_batch.  SWD and pallas-RF
         targets consume the transposed layout directly; anything else
         transposes back and reuses the row-major forward.
@@ -591,30 +576,29 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
             y = rf_t[:, :spec.ndata]
             return (y, jnp.all(jnp.isfinite(y), axis=-1),
                     jnp.zeros((C, 0), dtype),
-                    jnp.zeros((C, 0), dtype),
                     jnp.zeros((C, 0), dtype))
         if spec.kind == 'swd':
             from bayhunter_tpu.ops.swd import surfdisp_roots_batch
             cap = (_DIM_TRIPS_CAP or _WARM_TRIPS_CAP) if dim_move \
                 else _WARM_TRIPS_CAP
             cap = cap if c_prev is not None else None
-            cg, err, roots, slopes, exps = surfdisp_roots_batch(
+            cg, err, roots, slopes = surfdisp_roots_batch(
                 ht, vpt, vst, rhot, spec.periods, c_prev=c_prev,
                 iwave=spec.iwave, mode=spec.mode, igr=spec.igr,
                 iflsph=spec.flsph, warm_halfwidth=ring_width,
                 anchor_warm=dim_move, warm_trips_cap=cap,
                 pert_newton=pert_newton, slope_prev=slope_prev,
-                exp_prev=exp_prev, return_slopes=True,
+                return_slopes=True,
                 layout_t=True, prep=mk, interpret=interpret)
             if spec.interp_x is not None:
                 y = jax.vmap(lambda cc: jnp.interp(
                     spec.interp_x, spec.periods, cc))(cg)
             else:
                 y = cg
-            return y, jnp.logical_not(err), roots, slopes, exps
+            return y, jnp.logical_not(err), roots, slopes
         return _forward_batch(spec, ht.T, vpt.T, vst.T, rhot.T,
                               c_prev, ring_width, dim_move,
-                              pert_newton, slope_prev, exp_prev)
+                              pert_newton, slope_prev)
 
     def _mk_specs_static():
         """Static unified-model-kernel descriptors, one per target,
@@ -700,15 +684,13 @@ def build_evaluator(joint, priors, initparams, nl, dtype=jnp.float32,
         for i, spec in enumerate(specs):
             c_prev = cache[i][1] if spec.kind == 'swd' else None
             use_sl = spec.kind == 'swd' and (
-                (_SLOPE_CACHE and pert_newton and not dim_move)
-                or (_DIM_SLOPE_CACHE and dim_move))
+                _SLOPE_CACHE and pert_newton and not dim_move)
             slope_prev = cache[i][2] if use_sl else None
-            exp_prev = cache[i][3] if use_sl and dim_move else None
-            y, tvalid, roots, slopes, exps = _forward_batch_th(
+            y, tvalid, roots, slopes = _forward_batch_th(
                 spec, ht, vpt, vst, rhot, c_prev, ring_width,
-                dim_move, pert_newton, slope_prev, exp_prev,
+                dim_move, pert_newton, slope_prev,
                 mk=None if mk_res is None else mk_res[i])
-            new_cache.append((y, roots, slopes, exps))
+            new_cache.append((y, roots, slopes))
 
             yobs = jax.vmap(spec.yobs_for)(cell) if spec.batched_obs \
                 else spec.yobs

@@ -1010,7 +1010,7 @@ def test_cached_slope_newton_matches_fd():
     args = [jnp.asarray(x) for x in
             (H, VS * 1.73, VS, VS * 1.73 * 0.32 + 0.77)]
 
-    _, err0, roots, slopes, exps = surfdisp_roots_batch(
+    _, err0, roots, slopes = surfdisp_roots_batch(
         *args, per, return_slopes=True, interpret=True)
     assert not np.any(np.asarray(err0))
     assert np.all(np.abs(np.asarray(slopes)) > 0)
@@ -1021,8 +1021,8 @@ def test_cached_slope_newton_matches_fd():
              (H, VS2 * 1.73, VS2, VS2 * 1.73 * 0.32 + 0.77)]
     kw = dict(c_prev=roots, warm_halfwidth=2, warm_trips_cap=2,
               pert_newton=True, return_slopes=True, interpret=True)
-    w_fd, e_fd, _, s_fd, _ = surfdisp_roots_batch(*args2, per, **kw)
-    w_sl, e_sl, _, s_sl, _ = surfdisp_roots_batch(
+    w_fd, e_fd, _, s_fd = surfdisp_roots_batch(*args2, per, **kw)
+    w_sl, e_sl, _, s_sl = surfdisp_roots_batch(
         *args2, per, slope_prev=slopes, **kw)
     np.testing.assert_array_equal(np.asarray(e_fd), np.asarray(e_sl))
     assert not np.any(np.asarray(e_sl))
@@ -1037,11 +1037,11 @@ def test_cached_slope_newton_matches_fd():
     # different refiners here.
     os.environ['BAYHUNTER_WALK_NBISECT'] = '1'
     try:
-        w_z, e_z, r_z, _, _ = surfdisp_roots_batch(
+        w_z, e_z, r_z, _ = surfdisp_roots_batch(
             *args2, per, slope_prev=jnp.zeros_like(slopes), **kw)
         kw_np = dict(kw, pert_newton=False)
-        w_n, e_n, r_n, _, _ = surfdisp_roots_batch(*args2, per,
-                                                   **kw_np)
+        w_n, e_n, r_n, _ = surfdisp_roots_batch(*args2, per,
+                                                **kw_np)
     finally:
         del os.environ['BAYHUNTER_WALK_NBISECT']
     np.testing.assert_array_equal(np.asarray(e_z), np.asarray(e_n))
@@ -1084,59 +1084,3 @@ def test_rf_uniform_q_phase_hoist_parity():
             wave_type=wave, interpret=True)
         np.testing.assert_allclose(np.asarray(rf_s),
                                    np.asarray(rf_a), atol=1e-5)
-
-
-def test_dim_move_slope_cache_with_exponent_rescale():
-    """The dimension-move slope cache: a birth proposal's warm solve
-    seeded with the previous solve's cached slope RESCALED by the
-    cached renormalization exponent (exp(lg_here - lg_prev),
-    pallas_walk) must find the same roots as the FD-pair Newton it
-    replaces — the exponent restores scale compatibility across the
-    ±1-layer renormalization jump that otherwise invalidates the
-    cached slope."""
-    from bayhunter_tpu.ops.swd import surfdisp_roots_batch
-    rs = np.random.RandomState(21)
-    NL, C = 12, 8
-    per = jnp.asarray(np.linspace(2, 40, 11), jnp.float32)
-    H = np.zeros((C, NL), np.float32)
-    VS = np.zeros((C, NL), np.float32)
-    for i in range(C):
-        nlay = rs.randint(3, 7)
-        z = np.sort(rs.uniform(2, 50, nlay))
-        v = np.sort(rs.uniform(2.4, 4.5, nlay))
-        H[i, :nlay - 1] = np.diff(np.concatenate(
-            [[0], 0.5 * (z[:-1] + z[1:])]))
-        VS[i] = v[-1]
-        VS[i, :nlay] = v
-    args = [jnp.asarray(x) for x in
-            (H, VS * 1.73, VS, VS * 1.73 * 0.32 + 0.77)]
-
-    _, err0, roots, slopes, exps = surfdisp_roots_batch(
-        *args, per, return_slopes=True, interpret=True)
-    assert not np.any(np.asarray(err0))
-    assert np.all(np.abs(np.asarray(exps)) > 0)
-
-    # birth-like proposal: split each chain's thickest layer in two
-    # (same physical model structure shifted by one slot — the
-    # renormalization depth changes while the dispersion stays close)
-    H2 = H.copy()
-    VS2 = VS.copy()
-    for i in range(C):
-        k = int(np.argmax(H[i]))
-        H2[i, k + 1:] = H[i, k:-1]
-        VS2[i, k + 1:] = VS[i, k:-1]
-        H2[i, k] = H[i, k] / 2
-        H2[i, k + 1] = H[i, k] / 2
-        VS2[i, k + 1] = VS[i, k] + 0.02
-    args2 = [jnp.asarray(x) for x in
-             (H2, VS2 * 1.73, VS2, VS2 * 1.73 * 0.32 + 0.77)]
-    kw = dict(c_prev=roots, warm_halfwidth=1, warm_trips_cap=2,
-              anchor_warm=True, return_slopes=True, interpret=True)
-    w_fd, e_fd, _, _, _ = surfdisp_roots_batch(*args2, per, **kw)
-    w_sl, e_sl, _, _, _ = surfdisp_roots_batch(
-        *args2, per, slope_prev=slopes, exp_prev=exps, **kw)
-    # same find pattern and matching roots where both found
-    np.testing.assert_array_equal(np.asarray(e_fd), np.asarray(e_sl))
-    both = np.isfinite(np.asarray(w_fd)) & (np.asarray(w_fd) > 0) \
-        & (np.asarray(w_sl) > 0)
-    _assert_roots_close(np.asarray(w_sl)[both], np.asarray(w_fd)[both])
