@@ -701,10 +701,9 @@ def test_eval_full_batch_grouped_swd_matches_ungrouped(monkeypatch):
                                rtol=5e-4)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
                                rtol=5e-4, atol=1e-5)
-    for (ya, ra, sa, ea), (yb, rb, sb, eb) in zip(c1, c0):
+    for (ya, ra, sa), (yb, rb, sb) in zip(c1, c0):
         assert ya.shape == yb.shape and ra.shape == rb.shape
         assert sa.shape == ra.shape and sb.shape == rb.shape
-        assert ea.shape == ra.shape and eb.shape == rb.shape
         np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
                                    atol=5e-4)
 
